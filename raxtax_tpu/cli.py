@@ -1,0 +1,221 @@
+"""Command-line interface.
+
+Flag-compatible with the reference CLI (reference: src/io.rs:112-154,
+src/main.rs:14-173), plus TPU-specific extensions (``--backend``,
+``--batch-size``, ``--mesh``). Same output artifacts (`raxtax.out`,
+`raxtax.tsv`, `raxtax.log`, `raxtax.ckp`, `raxtax.json`), same checkpoint /
+resume semantics, same BSD-style exit codes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+from .utils import errors
+from .utils.logging import (
+    info_stderr,
+    phase_timer,
+    report_error,
+    setup_logging,
+    verbosity_to_level,
+)
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="raxtax-tpu",
+        description=(
+            "TPU-native k-mer based non-Bayesian taxonomic classifier "
+            "(capability-compatible with raxtax)"
+        ),
+    )
+    p.add_argument(
+        "-d", "--database-path", required=True, type=Path,
+        help="Path to the database fasta or binary (.npz) file",
+    )
+    p.add_argument(
+        "-i", "--query-file", type=Path, default=None,
+        help="Path to the query file",
+    )
+    p.add_argument(
+        "--skip-exact-matches", action="store_true",
+        help="If used for mislabeling analysis, skip exact sequence matches",
+    )
+    p.add_argument(
+        "--tsv", action="store_true",
+        help="Output primary result file in tsv format",
+    )
+    p.add_argument(
+        "--only-db", action="store_true",
+        help="Create binary database and exit",
+    )
+    p.add_argument(
+        "--skip-db", action="store_true",
+        help="Don't create the binary database for the reference sequences",
+    )
+    p.add_argument(
+        "-c", "--clean", action="store_true",
+        help="Remove binary database and checkpoint files after a successful run",
+    )
+    p.add_argument(
+        "--raw-confidence", action="store_true",
+        help="Don't adjust confidence values for 1 exact match",
+    )
+    p.add_argument(
+        "-t", "--threads", type=int, default=0,
+        help="Number of host threads (0 = all available)",
+    )
+    p.add_argument(
+        "-o", "--prefix", type=Path, default=Path("raxtax"),
+        help="Output prefix",
+    )
+    p.add_argument(
+        "--redo", action="store_true",
+        help="Force override of existing output files",
+    )
+    p.add_argument(
+        "--pin", action="store_true",
+        help="Thread pinning (no-op on TPU; kept for CLI compatibility)",
+    )
+    p.add_argument("-v", "--verbose", action="count", default=0)
+    p.add_argument("-q", "--quiet", action="count", default=0)
+    # --- TPU-native extensions ---
+    p.add_argument(
+        "--backend", choices=["auto", "oracle", "xla", "pallas"],
+        default="auto",
+        help="Compute backend: auto (best available device path), "
+        "xla (jnp bit-matmul), pallas (custom TPU kernels), "
+        "oracle (host numpy, exact f64; slow)",
+    )
+    p.add_argument(
+        "--batch-size", type=int, default=0,
+        help="Query batch size per device step (0 = auto)",
+    )
+    p.add_argument(
+        "--mesh", type=str, default="",
+        help="Device mesh as 'data,model' sizes, e.g. '2,4' (default: all "
+        "devices on the model axis)",
+    )
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    if args.query_file is None and not args.only_db:
+        print(
+            "error: the following arguments are required: -i/--query-file "
+            "(unless --only-db)",
+            file=sys.stderr,
+        )
+        return errors.CANTCREAT
+
+    from .io.buildinfo import write_build_info
+    from .io.outputs import OutputError, ResultWriter, get_output
+
+    try:
+        writers, checkpoint = get_output(args)
+    except (OutputError, OSError) as e:
+        print(f"\x1b[31m[ERROR]\x1b[0m {e}", file=sys.stderr)
+        return errors.CANTCREAT
+    write_build_info(writers.log)
+    level = verbosity_to_level(args.verbose, args.quiet)
+    setup_logging(writers.log, level)
+    if args.pin:
+        info_stderr(
+            "--pin has no effect: device placement replaces host thread "
+            "pinning on TPU",
+            level,
+        )
+
+    from .db.database import load_or_parse_database, save_database
+    from .io.checkpoint import FileFingerprint
+
+    with phase_timer("Total Runtime"):
+        # Parse reference database (binary fast path via the checkpointed
+        # path, src/main.rs:61)
+        db_path = Path(checkpoint.db_fingerprint.path)
+        try:
+            with phase_timer("Parsing References"):
+                parsed_from_fasta, db = load_or_parse_database(db_path)
+        except Exception as e:
+            report_error(f"Failed to parse {db_path}", e)
+            return errors.NOINPUT
+
+        if parsed_from_fasta and not args.skip_db:
+            bin_path = (Path(args.prefix) / db_path.name).with_suffix(".bin.npz")
+            if bin_path.is_file() and not args.redo:
+                report_error(
+                    "Could not create database! Rerun with --skip-db to skip "
+                    "this step.",
+                    f"Output database file {bin_path} already exists! Delete "
+                    "it or run with --redo to force overriding existing files!",
+                )
+                return errors.CANTCREAT
+            try:
+                save_database(db, bin_path)
+                writers.log.write(
+                    f"[INFO ] Created binary database at {bin_path}\n"
+                )
+                checkpoint.db_fingerprint = FileFingerprint.of(bin_path)
+                checkpoint.save()
+            except OSError as e:
+                report_error("Failed to write database", e)
+                return errors.IOERR
+        else:
+            try:
+                checkpoint.save()
+            except OSError as e:
+                report_error("Failed to write checkpoint! Continuing without...", e)
+
+        if args.only_db:
+            return errors.OK
+
+        from .io.fasta import parse_query_fasta_file
+
+        try:
+            with phase_timer("Parsing Queries"):
+                queries = parse_query_fasta_file(
+                    args.query_file, checkpoint.processed_queries
+                )
+        except Exception as e:
+            report_error(f"Failed to parse {args.query_file}", e)
+            return errors.NOINPUT
+
+        from .engine.classify import run_queries
+
+        writer = ResultWriter(writers)
+        try:
+            run_queries(db, queries, args, writer)
+        except Exception as e:
+            writer.join()
+            report_error(
+                "Error while classifying queries!\n"
+                "Rerun raxtax-tpu to continue from the last checkpoint.", e
+            )
+            return errors.TEMPFAIL
+        try:
+            writer.join()
+        except Exception as e:
+            report_error(
+                "IO-thread could not be joined. Check if results are complete!", e
+            )
+            return errors.IOERR
+
+        if args.clean:
+            with phase_timer("Checkpoint Cleanup"):
+                try:
+                    info_stderr("Removing checkpoint files...", level)
+                    checkpoint.cleanup()
+                except OSError as e:
+                    report_error(
+                        "Removing checkpoint files failed! "
+                        "Please delete them manually.", e
+                    )
+    writers.close()
+    return errors.OK
+
+
+if __name__ == "__main__":
+    sys.exit(main())

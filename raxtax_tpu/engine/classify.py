@@ -1,0 +1,80 @@
+"""Query engine: batching loop, backend dispatch, result streaming.
+
+TPU-native counterpart of the reference's rayon engine (reference:
+src/raxtax.rs:13-97): instead of work-stealing CPU threads, queries stream
+through device-sized batches; per-query results are sent to the single
+writer thread in query order, preserving the progress-file commit protocol.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from ..db.database import Database
+from ..io.outputs import ResultWriter
+from ..models.oracle import OracleClassifier, QueryResult
+from ..utils.logging import Progress, phase_timer, report_warning
+
+log = logging.getLogger("raxtax")
+
+
+def make_classifier(db: Database, args):
+    """Backend dispatch: 'oracle' (host numpy, exact), 'xla' (jnp device
+    pipeline), 'pallas' (custom kernels), 'auto' (best available)."""
+    backend = getattr(args, "backend", "auto")
+    if backend == "oracle":
+        return OracleClassifier(
+            db,
+            skip_exact_matches=args.skip_exact_matches,
+            raw_confidence=args.raw_confidence,
+        )
+    from .device import DeviceClassifier  # deferred: imports jax
+
+    return DeviceClassifier.create(
+        db,
+        skip_exact_matches=args.skip_exact_matches,
+        raw_confidence=args.raw_confidence,
+        backend=backend,
+        batch_size=getattr(args, "batch_size", 0) or None,
+    )
+
+
+def run_queries(
+    db: Database,
+    queries: list[tuple[str, np.ndarray]],
+    args,
+    writer: ResultWriter,
+) -> bool:
+    """Classify all queries, streaming results to the writer thread.
+
+    Returns True if any mislabel warning fired (src/raxtax.rs:23, 93-95).
+    """
+    classifier = make_classifier(db, args)
+    warnings = False
+    progress = Progress(len(queries), "Running Queries...")
+    tsv = args.tsv
+    batch_size = getattr(classifier, "batch_size", 1)
+    with phase_timer("raxtax"):
+        for start in range(0, len(queries), batch_size):
+            chunk = queries[start : start + batch_size]
+            if hasattr(classifier, "classify_batch"):
+                results: list[QueryResult] = classifier.classify_batch(chunk)
+            else:
+                results = [classifier.classify(l, s) for l, s in chunk]
+            for qr in results:
+                warnings |= qr.mislabel_warning
+                writer.send(
+                    qr.label,
+                    qr.out_string(),
+                    qr.tsv_string() if tsv else None,
+                )
+            progress.inc(len(chunk))
+    progress.finish()
+    if warnings:
+        report_warning(
+            "Exact matches for some queries differ above the species level! "
+            "Check the log file for more information!"
+        )
+    return warnings

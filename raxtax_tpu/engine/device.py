@@ -1,0 +1,272 @@
+"""Device classification engine.
+
+Orchestrates the TPU pipeline per query batch (SURVEY.md §7 design):
+
+  host: k-mer extraction, packing, exact-match lookup
+    -> device: intersection counts        (MXU bit-matmul or Pallas kernel)
+    -> device: intersection-size histogram (MXU outer-product)
+  host: per-K memoized f64 probability tables from histograms
+    -> device: per-size table gather, cumsum, eval-node range sums,
+               significance top-k compaction
+    -> device: max-confidence fallback descents (batched)
+  host: exact replay of the evaluation recursion over significant nodes,
+        exact-match policy, formatting.
+
+All O(num_refs) reductions happen on device; the host touches only
+histograms, (K+1)-sized tables, and the compacted significant set.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..db.bitmatrix import pack_query_kmers
+from ..db.database import Database
+from ..db.taxonomy import NODE_INNER, ROOT
+from ..lineage.evaluate import evaluate_significant
+from ..models.oracle import (
+    OracleClassifier,
+    QueryResult,
+    apply_exact_match_policy,
+)
+from ..prob.model import KTableCache, normalized_size_probs
+from ..utils.encoding import sequence_to_kmers
+
+log = logging.getLogger("raxtax")
+
+TOP_K = 1024
+DESCENT_PAD = 64
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclass
+class DeviceClassifier:
+    """Batched classifier running the count/histogram/aggregation pipeline
+    on the default JAX device (single-chip; see parallel/ for meshes)."""
+
+    db: Database
+    skip_exact_matches: bool
+    raw_confidence: bool
+    backend: str
+    batch_size: int
+    # device-resident state
+    ref_bits: object = field(repr=False, default=None)
+    node_starts: object = field(repr=False, default=None)
+    node_ends: object = field(repr=False, default=None)
+    child_ptr: object = field(repr=False, default=None)
+    child_ids: object = field(repr=False, default=None)
+    node_is_inner: object = field(repr=False, default=None)
+    _cache: KTableCache = field(default_factory=KTableCache, repr=False)
+    _oracle: OracleClassifier = field(default=None, repr=False)
+
+    @classmethod
+    def create(
+        cls,
+        db: Database,
+        skip_exact_matches: bool = False,
+        raw_confidence: bool = False,
+        backend: str = "auto",
+        batch_size: int | None = None,
+    ) -> "DeviceClassifier":
+        import jax.numpy as jnp
+
+        if backend == "auto":
+            import jax
+
+            backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+        tax = db.taxonomy
+        eval_ids = tax.eval_ids
+        self = cls(
+            db=db,
+            skip_exact_matches=skip_exact_matches,
+            raw_confidence=raw_confidence,
+            backend=backend,
+            batch_size=batch_size or 256,
+        )
+        self.ref_bits = jnp.asarray(db.ref_major)
+        self.node_starts = jnp.asarray(tax.range_start[eval_ids])
+        self.node_ends = jnp.asarray(tax.range_end[eval_ids])
+        # CSR over eval nodes, child ids remapped to eval positions
+        ptr = [0]
+        ids: list[int] = []
+        for n in eval_ids:
+            kids = tax.children(int(n))
+            kids = [int(tax.eval_pos[k]) for k in kids if tax.eval_pos[k] >= 0]
+            ids.extend(kids)
+            ptr.append(len(ids))
+        n_eval = len(eval_ids)
+        pad = [n_eval] * 128  # sentinel padding for fixed-chunk scans
+        self.child_ptr = jnp.asarray(np.asarray(ptr, dtype=np.int32))
+        self.child_ids = jnp.asarray(np.asarray(ids + pad, dtype=np.int32))
+        self.node_is_inner = jnp.asarray(
+            tax.node_type[eval_ids] == NODE_INNER
+        )
+        self._oracle = OracleClassifier(
+            db, skip_exact_matches=skip_exact_matches, raw_confidence=raw_confidence
+        )
+        if backend == "pallas":
+            from ..ops.intersect_pallas import prepare_kmer_major
+
+            self.kmer_major = prepare_kmer_major(db)
+        return self
+
+    # ------------------------------------------------------------------
+
+    def _counts(self, query_bits, kmer_idx, kmer_counts):
+        import jax.numpy as jnp
+
+        from ..ops.intersect_xla import intersection_counts_xla
+
+        if self.backend == "pallas":
+            from ..ops.intersect_pallas import intersection_counts_pallas
+
+            return intersection_counts_pallas(
+                kmer_idx, self.kmer_major, self.db.num_tips
+            )
+        return intersection_counts_xla(jnp.asarray(query_bits), self.ref_bits)
+
+    def classify_batch(
+        self, chunk: list[tuple[str, np.ndarray]]
+    ) -> list[QueryResult]:
+        import jax.numpy as jnp
+
+        from ..ops.histogram import intersection_histogram
+        from ..ops.intersect_xla import zero_reference_ids
+        from ..ops.nodeconf import max_descent, significant_nodes
+
+        tax = self.db.taxonomy
+        n_real = len(chunk)
+        B = self.batch_size
+        labels = [l for l, _ in chunk]
+        seqs = [s for _, s in chunk]
+        kmer_sets = [sequence_to_kmers(s) for s in seqs]
+        for km in kmer_sets:
+            assert km.size <= 0xFFFF, "too many distinct query k-mers"
+        # pad the batch to the fixed size with empty queries
+        kmer_sets += [np.empty(0, np.uint16)] * (B - n_real)
+        exact = [self.db.exact_matches(s) for s in seqs]
+
+        query_bits = pack_query_kmers(kmer_sets)
+        k_pad = _round_up(max((k.size for k in kmer_sets), default=1) or 1, 32)
+        kmer_idx = np.full((B, k_pad), 0x10000, dtype=np.int32)
+        for i, km in enumerate(kmer_sets):
+            kmer_idx[i, : km.size] = km
+        counts = self._counts(query_bits, kmer_idx, [k.size for k in kmer_sets])
+
+        if self.skip_exact_matches:
+            e_pad = max((len(e) for e in exact), default=0)
+            if e_pad:
+                ids = np.full((B, e_pad), -1, dtype=np.int32)
+                for i, e in enumerate(exact):
+                    ids[i, : len(e)] = e
+                counts = zero_reference_ids(counts, jnp.asarray(ids))
+
+        ks = [int(k.size) for k in kmer_sets]
+        s_max = _round_up(max(ks) + 1, 128)
+        hist = np.asarray(intersection_histogram(counts, s_max))
+
+        # host f64 stage: per-size probabilities + global signal
+        table = np.zeros((B, s_max), dtype=np.float32)
+        global_signals = np.zeros(B, dtype=np.float64)
+        inv_n = 1.0 / self.db.num_tips
+        for b in range(n_real):
+            K = ks[b]
+            probs_size, _ = normalized_size_probs(hist[b], K, self._cache)
+            h = hist[b, : probs_size.shape[0]].astype(np.float64)
+            global_signals[b] = np.sqrt(h @ (probs_size - inv_n) ** 2)
+            table[b, : probs_size.shape[0]] = probs_size
+
+        vals, idx, n_sig, node_conf = significant_nodes(
+            counts,
+            jnp.asarray(table),
+            self.node_starts,
+            self.node_ends,
+            top_k=TOP_K,
+        )
+        vals = np.asarray(vals)
+        idx = np.asarray(idx)
+        n_sig = np.asarray(n_sig)
+
+        # collect fallback descent sites across the batch
+        eval_ids = tax.eval_ids
+        sig_sets: list[dict[int, float]] = []
+        sites: list[tuple[int, int]] = []  # (query, eval_pos)
+        overflow: list[int] = []
+        for b in range(n_real):
+            m = int(n_sig[b])
+            if m > vals.shape[1]:
+                overflow.append(b)
+                sig_sets.append({})
+                continue
+            sig = {
+                int(eval_ids[idx[b, j]]): float(vals[b, j]) for j in range(m)
+            }
+            sig_sets.append(sig)
+            parents_of_sig = {int(tax.parent[n]) for n in sig}
+            cands = set(sig) | {ROOT}
+            for n in cands:
+                if tax.node_type[n] == NODE_INNER and n not in parents_of_sig:
+                    sites.append((b, int(tax.eval_pos[n])))
+
+        fallback_map: dict[tuple[int, int], int] = {}
+        if sites:
+            m_pad = _round_up(len(sites), DESCENT_PAD)
+            b_idx = np.zeros(m_pad, dtype=np.int32)
+            nodes = np.zeros(m_pad, dtype=np.int32)
+            for j, (b, pos) in enumerate(sites):
+                b_idx[j], nodes[j] = b, pos
+            leaves = np.asarray(
+                max_descent(
+                    node_conf,
+                    jnp.asarray(b_idx),
+                    jnp.asarray(nodes),
+                    self.child_ptr,
+                    self.child_ids,
+                    self.node_is_inner,
+                )
+            )
+            for j, (b, pos) in enumerate(sites):
+                fallback_map[(b, int(eval_ids[pos]))] = int(eval_ids[leaves[j]])
+
+        out: list[QueryResult] = []
+        for b in range(n_real):
+            if b in overflow:
+                # significant set exceeded the compaction budget (extremely
+                # diffuse match profile): exact host fallback
+                log.debug(
+                    "query %s: significant-set overflow, host fallback",
+                    labels[b],
+                )
+                out.append(self._oracle.classify(labels[b], seqs[b]))
+                continue
+            results = evaluate_significant(
+                tax,
+                labels[b],
+                sig_sets[b],
+                float(global_signals[b]),
+                lambda node, _b=b: fallback_map[(_b, node)],
+            )
+            assert results, "evaluation must produce at least one result"
+            results, warned = apply_exact_match_policy(
+                labels[b],
+                self.db,
+                exact[b],
+                results,
+                self.raw_confidence,
+                self.skip_exact_matches,
+            )
+            out.append(
+                QueryResult(
+                    label=labels[b],
+                    results=results,
+                    sequence=seqs[b],
+                    mislabel_warning=warned,
+                )
+            )
+        return out

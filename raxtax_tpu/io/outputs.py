@@ -1,0 +1,134 @@
+"""Output directory management and the ordered writer.
+
+Mirrors the reference's output plumbing: four writers (`raxtax.out`,
+optional `raxtax.tsv`, `raxtax.log`, progress `raxtax.ckp`) created under the
+prefix directory (reference: src/io.rs:202-263), plus the dedicated writer
+thread that drains a result queue and appends the query label to the
+progress file *after* its result lines — making the progress file the commit
+point for checkpointing (reference: src/main.rs:126-136).
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from dataclasses import dataclass
+from pathlib import Path
+from typing import IO
+
+from .checkpoint import Checkpoint, check_incomplete_output
+
+log = logging.getLogger("raxtax")
+
+
+class OutputError(RuntimeError):
+    pass
+
+
+@dataclass
+class OutputWriters:
+    primary: IO[str]
+    tsv: IO[str] | None
+    log: IO[str]
+    progress: IO[str]
+
+    def close(self):
+        for f in (self.primary, self.tsv, self.log, self.progress):
+            if f is not None:
+                f.close()
+
+
+def _open(path: Path, append: bool) -> IO[str]:
+    return open(path, "a" if append else "w")
+
+
+def get_output(args) -> tuple[OutputWriters, Checkpoint]:
+    """Create/validate the output directory, writers and checkpoint
+    (reference: src/io.rs:202-263)."""
+    prefix = Path(args.prefix)
+    ckp_path = prefix / "raxtax.json"
+    out_path = prefix / "raxtax.out"
+    tsv_path = prefix / "raxtax.tsv"
+
+    checkpoint = None
+    resuming = False
+    if not args.redo and ckp_path.is_file():
+        try:
+            ckp = Checkpoint.load(ckp_path)
+            if ckp.valid_for(args):
+                with open(ckp.progress_file) as f:
+                    ckp.processed_queries = {l.rstrip("\n") for l in f if l.strip()}
+                check_incomplete_output(out_path, ckp.processed_queries)
+                if args.tsv:
+                    check_incomplete_output(tsv_path, ckp.processed_queries)
+                checkpoint = ckp
+                resuming = True
+        except (OSError, ValueError, KeyError) as e:
+            log.error("Failed to read checkpoint!: %s", e)
+    if checkpoint is None:
+        if prefix.is_dir() and not ckp_path.is_file() and not args.redo:
+            raise OutputError(
+                f"Output folder {prefix} already exists! Please specify another "
+                "folder with -o <PATH> or run with --redo to force overriding "
+                "existing files!"
+            )
+        prefix.mkdir(parents=True, exist_ok=True)
+        checkpoint = Checkpoint.new(ckp_path, args)
+    prefix.mkdir(parents=True, exist_ok=True)
+    append = not args.redo
+    writers = OutputWriters(
+        primary=_open(out_path, append),
+        tsv=_open(tsv_path, append) if args.tsv else None,
+        log=_open(prefix / "raxtax.log", append),
+        progress=_open(prefix / "raxtax.ckp", append),
+    )
+    if resuming:
+        msg = f"Restarting from checkpoint {checkpoint.checkpoint_file}"
+        log.info(msg)
+        writers.log.write(f"[INFO ] {msg}\n")
+    return writers, checkpoint
+
+
+class ResultWriter:
+    """Single writer thread draining an unbounded queue of
+    (query_label, out_string, tsv_string|None) tuples, exactly like the
+    reference's crossbeam consumer (src/main.rs:126-136)."""
+
+    _SENTINEL = object()
+
+    def __init__(self, writers: OutputWriters):
+        self.writers = writers
+        self.queue: "queue.SimpleQueue" = queue.SimpleQueue()
+        self.error: BaseException | None = None
+        self._thread = threading.Thread(target=self._run, name="raxtax-writer")
+        self._thread.start()
+
+    def send(self, label: str, out_string: str, tsv_string: str | None):
+        self.queue.put((label, out_string, tsv_string))
+
+    def _run(self):
+        try:
+            while True:
+                item = self.queue.get()
+                if item is self._SENTINEL:
+                    return
+                label, out_string, tsv_string = item
+                if self.writers.tsv is not None:
+                    self.writers.tsv.write(tsv_string + "\n")
+                self.writers.primary.write(out_string + "\n")
+                # flush results before committing progress so the progress
+                # file never overstates completed work
+                self.writers.primary.flush()
+                if self.writers.tsv is not None:
+                    self.writers.tsv.flush()
+                self.writers.progress.write(label + "\n")
+                self.writers.progress.flush()
+        except BaseException as e:  # surfaced on join
+            self.error = e
+
+    def join(self):
+        self.queue.put(self._SENTINEL)
+        self._thread.join()
+        if self.error is not None:
+            raise self.error

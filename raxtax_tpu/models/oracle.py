@@ -1,0 +1,122 @@
+"""End-to-end oracle classifier (exact f64, host numpy).
+
+Reference-faithful implementation of the per-query pipeline
+(reference: src/raxtax.rs:36-89) used as the correctness oracle for the
+device engines and as the zero-dependency fallback backend:
+
+  exact-match lookup -> distinct 8-mers -> per-reference intersection counts
+  -> analytic top-hit probabilities -> lineage aggregation -> formatting.
+
+Intersection counts are computed from the packed kmer-major bit matrix
+(popcount of gathered postings bitvectors) rather than the reference's
+scatter-add loop — identical integers, vector-friendly layout.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..db.database import Database
+from ..lineage.evaluate import EvaluationResult, evaluate_dense
+from ..prob.oracle import highest_hit_prob_per_reference
+from ..utils.encoding import decompress_sequence, sequence_to_kmers
+
+log = logging.getLogger("raxtax")
+
+
+@dataclass
+class QueryResult:
+    label: str
+    results: list[EvaluationResult]
+    sequence: np.ndarray
+    mislabel_warning: bool = False
+
+    def out_string(self) -> str:
+        return "\n".join(r.out_line() for r in self.results)
+
+    def tsv_string(self) -> str:
+        seq = decompress_sequence(self.sequence)
+        return "\n".join(r.tsv_line(seq) for r in self.results)
+
+
+def intersection_counts(db: Database, kmers: np.ndarray) -> np.ndarray:
+    """|query kmers ∩ ref kmers| for every reference (src/raxtax.rs:58-64)."""
+    if kmers.size == 0:
+        return np.zeros(db.num_tips, dtype=np.uint16)
+    rows = db.kmer_major[kmers.astype(np.int64)]  # [K, W] uint32
+    bits = np.unpackbits(rows.view(np.uint8), axis=1, bitorder="little")
+    return bits.sum(axis=0, dtype=np.uint32)[: db.num_tips].astype(np.uint16)
+
+
+def apply_exact_match_policy(
+    query_label: str,
+    db: Database,
+    exact: list[int],
+    results: list[EvaluationResult],
+    raw_confidence: bool,
+    skip_exact_matches: bool,
+) -> tuple[list[EvaluationResult], bool]:
+    """Mislabel warning + single-exact-match confidence override
+    (src/raxtax.rs:42-53, 73-84). Returns (results, warned)."""
+    warned = False
+    if not skip_exact_matches:
+        lineages = db.taxonomy.lineages
+        for idx in exact:
+            log.info(
+                "Exact sequence match for query %s: %s",
+                query_label,
+                lineages[idx],
+            )
+        parents = {lineages[i].rsplit(",", 1)[0] for i in exact}
+        if len(parents) > 1:
+            log.warning(
+                "Exact matches for %s differ above the leafs of the lineage tree!",
+                query_label,
+            )
+            warned = True
+        if not raw_confidence and len(exact) == 1:
+            idx = exact[0]
+            lineage = lineages[idx]
+            results = [
+                EvaluationResult(
+                    query_label=query_label,
+                    lineage=lineage,
+                    confidence_values=[1.0] * (lineage.count(",") + 1),
+                    local_signal=results[0].local_signal,
+                    global_signal=results[0].global_signal,
+                )
+            ]
+    return results, warned
+
+
+@dataclass
+class OracleClassifier:
+    """Slow exact classifier; the semantics oracle for the device engines."""
+
+    db: Database
+    skip_exact_matches: bool = False
+    raw_confidence: bool = False
+
+    def classify(self, label: str, sequence: np.ndarray) -> QueryResult:
+        db = self.db
+        exact = db.exact_matches(sequence)
+        kmers = sequence_to_kmers(sequence)
+        assert kmers.size <= 0xFFFF, "too many distinct query k-mers"
+        num_trials = kmers.size // 2
+        counts = intersection_counts(db, kmers)
+        if self.skip_exact_matches and exact:
+            counts[np.asarray(exact)] = 0  # src/raxtax.rs:65-68
+        probs = highest_hit_prob_per_reference(
+            int(kmers.size), int(num_trials), counts
+        )
+        results = evaluate_dense(db.taxonomy, label, probs)
+        assert results, "evaluation must produce at least one result"
+        results, warned = apply_exact_match_policy(
+            label, db, exact, results, self.raw_confidence, self.skip_exact_matches
+        )
+        return QueryResult(
+            label=label, results=results, sequence=sequence, mislabel_warning=warned
+        )

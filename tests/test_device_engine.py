@@ -1,0 +1,134 @@
+"""Device pipeline vs exact oracle: byte-identical outputs.
+
+Runs on CPU JAX (conftest forces 8 virtual devices); the same code paths run
+on TPU. Covers the XLA counts path, MXU histogram, node-confidence
+compaction, fallback descent, and exact-match policy.
+"""
+
+import numpy as np
+import pytest
+
+from raxtax_tpu.db.database import build_database
+from raxtax_tpu.engine.device import DeviceClassifier
+from raxtax_tpu.models.oracle import OracleClassifier, intersection_counts
+from raxtax_tpu.utils.encoding import decompress_sequence, sequence_to_kmers
+
+BASES = "ACGT"
+
+
+def random_seq(rng, length):
+    return "".join(BASES[i] for i in rng.integers(0, 4, size=length))
+
+
+def mutate(rng, seq, rate=0.05):
+    out = list(seq)
+    for i in range(len(out)):
+        if rng.random() < rate:
+            out[i] = BASES[rng.integers(0, 4)]
+    return "".join(out)
+
+
+@pytest.fixture(scope="module")
+def small_world():
+    rng = np.random.default_rng(42)
+    lineages, seqs = [], []
+    for p in range(3):
+        for f in range(4):
+            for s in range(4):
+                lineages.append(
+                    f"p:P{p},f:F{p}_{f},s:S{p}_{f}_{s}"
+                )
+                seqs.append(random_seq(rng, 220))
+    from raxtax_tpu.utils.encoding import encode_sequence
+
+    db = build_database(lineages, [encode_sequence(s) for s in seqs])
+    queries = []
+    # near matches (mutations of references)
+    for i in range(12):
+        queries.append((f"mut{i}", encode_sequence(mutate(rng, seqs[i * 3 % len(seqs)]))))
+    # exact copies (exact-match override path)
+    queries.append(("exact0", encode_sequence(seqs[0])))
+    queries.append(("exact7", encode_sequence(seqs[7])))
+    # random no-match queries (fallback descent path)
+    for i in range(4):
+        queries.append((f"rand{i}", encode_sequence(random_seq(rng, 180))))
+    # short query with ambiguity codes
+    queries.append(("ambig", encode_sequence("ACGTNNNNACGTACGTWWSSACGTACGT")))
+    return db, queries
+
+
+def render(qr, tsv=False):
+    return qr.tsv_string() if tsv else qr.out_string()
+
+
+@pytest.mark.parametrize("skip_exact", [False, True])
+@pytest.mark.parametrize("raw_conf", [False, True])
+def test_device_matches_oracle(small_world, skip_exact, raw_conf):
+    db, queries = small_world
+    oracle = OracleClassifier(
+        db, skip_exact_matches=skip_exact, raw_confidence=raw_conf
+    )
+    dev = DeviceClassifier.create(
+        db,
+        skip_exact_matches=skip_exact,
+        raw_confidence=raw_conf,
+        backend="xla",
+        batch_size=8,
+    )
+    for start in range(0, len(queries), 8):
+        chunk = queries[start : start + 8]
+        got = dev.classify_batch(chunk)
+        for (label, seq), qr in zip(chunk, got):
+            expected = oracle.classify(label, seq)
+            assert render(qr) == render(expected), label
+            assert render(qr, tsv=True) == render(expected, tsv=True), label
+
+
+def test_counts_xla_exact(small_world):
+    import jax.numpy as jnp
+
+    from raxtax_tpu.db.bitmatrix import pack_query_kmers
+    from raxtax_tpu.ops.intersect_xla import intersection_counts_xla
+
+    db, queries = small_world
+    kmer_sets = [sequence_to_kmers(s) for _, s in queries[:6]]
+    qbits = pack_query_kmers(kmer_sets)
+    counts = np.asarray(
+        intersection_counts_xla(jnp.asarray(qbits), jnp.asarray(db.ref_major))
+    )
+    for i, km in enumerate(kmer_sets):
+        expected = intersection_counts(db, km)
+        np.testing.assert_array_equal(counts[i].astype(np.int64), expected)
+
+
+def test_histogram_exact():
+    import jax.numpy as jnp
+
+    from raxtax_tpu.ops.histogram import intersection_histogram
+
+    rng = np.random.default_rng(1)
+    counts = rng.integers(0, 300, size=(4, 1000)).astype(np.float32)
+    hist = np.asarray(intersection_histogram(jnp.asarray(counts), 384))
+    for b in range(4):
+        np.testing.assert_array_equal(
+            hist[b], np.bincount(counts[b].astype(np.int64), minlength=384)
+        )
+
+
+def test_mislabel_warning(small_world):
+    db, _ = small_world
+    # craft a db where one sequence appears under two different genera
+    from raxtax_tpu.utils.encoding import encode_sequence
+
+    rng = np.random.default_rng(3)
+    seq = random_seq(rng, 150)
+    filler1, filler2 = random_seq(rng, 150), random_seq(rng, 150)
+    db2 = build_database(
+        ["p:A,g:G1,s:X", "p:A,g:G2,s:Y", "p:A,g:G1,s:Z"],
+        [encode_sequence(seq), encode_sequence(seq), encode_sequence(filler1)],
+    )
+    dev = DeviceClassifier.create(db2, backend="xla", batch_size=2)
+    (qr,) = dev.classify_batch([("q", encode_sequence(seq))])
+    assert qr.mislabel_warning
+    oracle = OracleClassifier(db2)
+    assert qr.out_string() == oracle.classify("q", encode_sequence(seq)).out_string()
