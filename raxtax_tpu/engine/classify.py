@@ -30,14 +30,24 @@ def make_classifier(db: Database, args):
             skip_exact_matches=args.skip_exact_matches,
             raw_confidence=args.raw_confidence,
         )
+    import jax
+
     from .device import DeviceClassifier  # deferred: imports jax
 
+    mesh_spec = getattr(args, "mesh", "")
+    mesh = None
+    if mesh_spec or len(jax.devices()) > 1:
+        from ..parallel.mesh import make_mesh
+
+        mesh = make_mesh(mesh_spec)
+        log.info("device mesh: %s", dict(mesh.shape))
     return DeviceClassifier.create(
         db,
         skip_exact_matches=args.skip_exact_matches,
         raw_confidence=args.raw_confidence,
         backend=backend,
         batch_size=getattr(args, "batch_size", 0) or None,
+        mesh=mesh,
     )
 
 

@@ -38,7 +38,6 @@ from ..utils.encoding import sequence_to_kmers
 log = logging.getLogger("raxtax")
 
 TOP_K = 1024
-DESCENT_PAD = 64
 
 
 def _round_up(x: int, m: int) -> int:
@@ -56,12 +55,10 @@ class DeviceClassifier:
     backend: str
     batch_size: int
     # device-resident state
+    pipeline: object = field(repr=False, default=None)  #: ShardedPipeline | None
     ref_bits: object = field(repr=False, default=None)
     node_starts: object = field(repr=False, default=None)
     node_ends: object = field(repr=False, default=None)
-    child_ptr: object = field(repr=False, default=None)
-    child_ids: object = field(repr=False, default=None)
-    node_is_inner: object = field(repr=False, default=None)
     _cache: KTableCache = field(default_factory=KTableCache, repr=False)
     _oracle: OracleClassifier = field(default=None, repr=False)
 
@@ -73,6 +70,7 @@ class DeviceClassifier:
         raw_confidence: bool = False,
         backend: str = "auto",
         batch_size: int | None = None,
+        mesh=None,
     ) -> "DeviceClassifier":
         import jax.numpy as jnp
 
@@ -89,24 +87,17 @@ class DeviceClassifier:
             backend=backend,
             batch_size=batch_size or 256,
         )
-        self.ref_bits = jnp.asarray(db.ref_major)
+        if mesh is not None:
+            from ..parallel.mesh import ShardedPipeline
+
+            self.pipeline = ShardedPipeline.create(db, mesh)
+            # keep the batch divisible over the data axis
+            d = mesh.shape["data"]
+            self.batch_size = _round_up(self.batch_size, d)
+        else:
+            self.ref_bits = jnp.asarray(db.ref_major)
         self.node_starts = jnp.asarray(tax.range_start[eval_ids])
         self.node_ends = jnp.asarray(tax.range_end[eval_ids])
-        # CSR over eval nodes, child ids remapped to eval positions
-        ptr = [0]
-        ids: list[int] = []
-        for n in eval_ids:
-            kids = tax.children(int(n))
-            kids = [int(tax.eval_pos[k]) for k in kids if tax.eval_pos[k] >= 0]
-            ids.extend(kids)
-            ptr.append(len(ids))
-        n_eval = len(eval_ids)
-        pad = [n_eval] * 128  # sentinel padding for fixed-chunk scans
-        self.child_ptr = jnp.asarray(np.asarray(ptr, dtype=np.int32))
-        self.child_ids = jnp.asarray(np.asarray(ids + pad, dtype=np.int32))
-        self.node_is_inner = jnp.asarray(
-            tax.node_type[eval_ids] == NODE_INNER
-        )
         self._oracle = OracleClassifier(
             db, skip_exact_matches=skip_exact_matches, raw_confidence=raw_confidence
         )
@@ -138,7 +129,7 @@ class DeviceClassifier:
 
         from ..ops.histogram import intersection_histogram
         from ..ops.intersect_xla import zero_reference_ids
-        from ..ops.nodeconf import max_descent, significant_nodes
+        from ..ops.nodeconf import significant_nodes
 
         tax = self.db.taxonomy
         n_real = len(chunk)
@@ -157,22 +148,34 @@ class DeviceClassifier:
         kmer_idx = np.full((B, k_pad), 0x10000, dtype=np.int32)
         for i, km in enumerate(kmer_sets):
             kmer_idx[i, : km.size] = km
-        counts = self._counts(query_bits, kmer_idx, [k.size for k in kmer_sets])
-
-        if self.skip_exact_matches:
-            e_pad = max((len(e) for e in exact), default=0)
-            if e_pad:
-                ids = np.full((B, e_pad), -1, dtype=np.int32)
-                for i, e in enumerate(exact):
-                    ids[i, : len(e)] = e
-                counts = zero_reference_ids(counts, jnp.asarray(ids))
 
         ks = [int(k.size) for k in kmer_sets]
         s_max = _round_up(max(ks) + 1, 128)
-        hist = np.asarray(intersection_histogram(counts, s_max))
+        e_pad = (
+            max((len(e) for e in exact), default=0)
+            if self.skip_exact_matches
+            else 0
+        )
+        ids = np.full((B, max(e_pad, 1)), -1, dtype=np.int32)
+        if e_pad:
+            for i, e in enumerate(exact):
+                ids[i, : len(e)] = e
+
+        if self.pipeline is not None:
+            counts, hist = self.pipeline.counts_and_hist(
+                query_bits, ids, s_max
+            )
+        else:
+            counts = self._counts(
+                query_bits, kmer_idx, [k.size for k in kmer_sets]
+            )
+            if e_pad:
+                counts = zero_reference_ids(counts, jnp.asarray(ids))
+            hist = np.asarray(intersection_histogram(counts, s_max))
 
         # host f64 stage: per-size probabilities + global signal
         table = np.zeros((B, s_max), dtype=np.float32)
+        tables64: list[np.ndarray | None] = [None] * B
         global_signals = np.zeros(B, dtype=np.float64)
         inv_n = 1.0 / self.db.num_tips
         for b in range(n_real):
@@ -181,17 +184,23 @@ class DeviceClassifier:
             h = hist[b, : probs_size.shape[0]].astype(np.float64)
             global_signals[b] = np.sqrt(h @ (probs_size - inv_n) ** 2)
             table[b, : probs_size.shape[0]] = probs_size
+            tables64[b] = probs_size
 
-        vals, idx, n_sig, node_conf = significant_nodes(
-            counts,
-            jnp.asarray(table),
-            self.node_starts,
-            self.node_ends,
-            top_k=TOP_K,
-        )
-        vals = np.asarray(vals)
-        idx = np.asarray(idx)
-        n_sig = np.asarray(n_sig)
+        if self.pipeline is not None:
+            vals, idx, n_sig, node_conf = self.pipeline.significant(
+                counts, table, TOP_K
+            )
+        else:
+            vals, idx, n_sig, node_conf = significant_nodes(
+                counts,
+                jnp.asarray(table),
+                self.node_starts,
+                self.node_ends,
+                top_k=TOP_K,
+            )
+            vals = np.asarray(vals)
+            idx = np.asarray(idx)
+            n_sig = np.asarray(n_sig)
 
         # collect fallback descent sites across the batch
         eval_ids = tax.eval_ids
@@ -214,25 +223,33 @@ class DeviceClassifier:
                 if tax.node_type[n] == NODE_INNER and n not in parents_of_sig:
                     sites.append((b, int(tax.eval_pos[n])))
 
+        # Fallback descents run on host in f64: the argmax compares
+        # near-equal child confidences, where f32 cumsum cancellation can
+        # disagree with the reference's f64 ordering. Only the exact counts
+        # rows of affected queries cross back to the host.
         fallback_map: dict[tuple[int, int], int] = {}
         if sites:
-            m_pad = _round_up(len(sites), DESCENT_PAD)
-            b_idx = np.zeros(m_pad, dtype=np.int32)
-            nodes = np.zeros(m_pad, dtype=np.int32)
-            for j, (b, pos) in enumerate(sites):
-                b_idx[j], nodes[j] = b, pos
-            leaves = np.asarray(
-                max_descent(
-                    node_conf,
-                    jnp.asarray(b_idx),
-                    jnp.asarray(nodes),
-                    self.child_ptr,
-                    self.child_ids,
-                    self.node_is_inner,
-                )
-            )
-            for j, (b, pos) in enumerate(sites):
-                fallback_map[(b, int(eval_ids[pos]))] = int(eval_ids[leaves[j]])
+            fb_queries = sorted({b for b, _ in sites})
+            rows = np.asarray(counts[np.asarray(fb_queries)])[
+                :, : self.db.num_tips
+            ].astype(np.int64)
+            for row, b in zip(rows, fb_queries):
+                probs = tables64[b][row]
+                cum0 = np.concatenate(([0.0], np.cumsum(probs)))
+                conf64 = (
+                    cum0[tax.range_end] - cum0[tax.range_start]
+                )  # per global node
+                for b2, pos in sites:
+                    if b2 != b:
+                        continue
+                    cur = int(eval_ids[pos])
+                    while tax.node_type[cur] == NODE_INNER:
+                        kids = tax.children(cur)
+                        vals_k = conf64[kids]
+                        # Rust max_by keeps the LAST maximal element
+                        best = len(vals_k) - 1 - int(np.argmax(vals_k[::-1]))
+                        cur = int(kids[best])
+                    fallback_map[(b, int(eval_ids[pos]))] = cur
 
         out: list[QueryResult] = []
         for b in range(n_real):

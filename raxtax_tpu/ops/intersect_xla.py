@@ -25,11 +25,12 @@ from .bitops import unpack_bits
 SLAB_WORDS = 64  #: words per scan step (64*32 = 2048 one-hot columns)
 
 
-@partial(jax.jit, static_argnames=("slab_words",))
+@partial(jax.jit, static_argnames=("slab_words", "vary_axes"))
 def intersection_counts_xla(
     query_bits: jax.Array,  # [B, 2048] uint32
     ref_bits: jax.Array,  # [N, 2048] uint32
     slab_words: int = SLAB_WORDS,
+    vary_axes: tuple[str, ...] = (),
 ) -> jax.Array:  # [B, N] float32 (exact integers)
     n_words = query_bits.shape[-1]
     assert ref_bits.shape[-1] == n_words and n_words % slab_words == 0
@@ -53,6 +54,10 @@ def intersection_counts_xla(
     init = jnp.zeros(
         (query_bits.shape[0], ref_bits.shape[0]), dtype=jnp.float32
     )
+    if vary_axes:
+        # under shard_map the carry must carry the same varying-axes type as
+        # the per-slab products
+        init = jax.lax.pcast(init, vary_axes, to="varying")
     counts, _ = jax.lax.scan(
         step, init, (jnp.moveaxis(q, 1, 0), jnp.moveaxis(r, 1, 0))
     )

@@ -1,0 +1,86 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh.
+
+The sharded pipeline (queries data-parallel, reference bit matrix
+model-parallel, psum merges) must produce byte-identical output to the
+single-device path and the exact oracle.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from raxtax_tpu.db.database import build_database
+from raxtax_tpu.engine.device import DeviceClassifier
+from raxtax_tpu.models.oracle import OracleClassifier
+from raxtax_tpu.parallel.mesh import make_mesh, pad_to_multiple
+from raxtax_tpu.utils.encoding import encode_sequence
+
+BASES = "ACGT"
+
+
+def random_seq(rng, length):
+    return "".join(BASES[i] for i in rng.integers(0, 4, size=length))
+
+
+@pytest.fixture(scope="module")
+def world():
+    rng = np.random.default_rng(7)
+    lineages, seqs = [], []
+    for p in range(2):
+        for f in range(5):
+            for s in range(3):
+                lineages.append(f"p:P{p},f:F{p}{f},s:S{p}{f}{s}")
+                seqs.append(random_seq(rng, 210))
+    db = build_database(lineages, [encode_sequence(s) for s in seqs])
+    queries = []
+    for i in range(6):
+        queries.append((f"q{i}", encode_sequence(seqs[i * 5 % len(seqs)])))
+    for i in range(4):
+        queries.append((f"r{i}", encode_sequence(random_seq(rng, 200))))
+    return db, queries
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("spec", ["1,8", "2,4", "4,2", "8,1"])
+def test_sharded_matches_oracle(world, spec):
+    db, queries = world
+    mesh = make_mesh(spec)
+    dev = DeviceClassifier.create(
+        db, backend="xla", batch_size=4, mesh=mesh
+    )
+    oracle = OracleClassifier(db)
+    got = []
+    for start in range(0, len(queries), dev.batch_size):
+        got += dev.classify_batch(queries[start : start + dev.batch_size])
+    for (label, seq), qr in zip(queries, got):
+        assert qr.out_string() == oracle.classify(label, seq).out_string(), label
+
+
+def test_sharded_skip_exact(world):
+    db, queries = world
+    mesh = make_mesh("2,4")
+    dev = DeviceClassifier.create(
+        db, backend="xla", batch_size=4, mesh=mesh, skip_exact_matches=True
+    )
+    oracle = OracleClassifier(db, skip_exact_matches=True)
+    chunk = queries[:4]
+    got = dev.classify_batch(chunk)
+    for (label, seq), qr in zip(chunk, got):
+        assert qr.out_string() == oracle.classify(label, seq).out_string(), label
+
+
+def test_pad_to_multiple():
+    x = np.ones((10, 3))
+    y = pad_to_multiple(x, 8)
+    assert y.shape == (16, 3)
+    assert y[10:].sum() == 0
+    assert pad_to_multiple(x, 5).shape == (10, 3)
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError):
+        make_mesh("3,3")
