@@ -83,11 +83,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("-q", "--quiet", action="count", default=0)
     # --- TPU-native extensions ---
     p.add_argument(
-        "--backend", choices=["auto", "oracle", "xla", "pallas"],
+        "--backend", choices=["auto", "oracle", "xla", "pallas", "stream"],
         default="auto",
         help="Compute backend: auto (best available device path), "
-        "xla (jnp bit-matmul), pallas (custom TPU kernels), "
-        "oracle (host numpy, exact f64; slow)",
+        "xla (jnp bit-matmul), pallas (gather + Harley-Seal popcount kernel), "
+        "stream (streaming-scatter kernel), oracle (host numpy, exact f64; slow)",
     )
     p.add_argument(
         "--batch-size", type=int, default=0,

@@ -94,7 +94,7 @@ class DeviceClassifier:
             # keep the batch divisible over the data axis
             d = mesh.shape["data"]
             self.batch_size = _round_up(self.batch_size, d)
-        else:
+        elif backend == "xla":
             self.ref_bits = jnp.asarray(db.ref_major)
         self.node_starts = jnp.asarray(tax.range_start[eval_ids])
         self.node_ends = jnp.asarray(tax.range_end[eval_ids])
@@ -105,6 +105,10 @@ class DeviceClassifier:
             from ..ops.intersect_pallas import prepare_kmer_major
 
             self.kmer_major = prepare_kmer_major(db)
+        elif backend == "stream":
+            from ..ops.intersect_stream import prepare_kmer_major_stream
+
+            self.kmer_major = prepare_kmer_major_stream(db)
         return self
 
     # ------------------------------------------------------------------
@@ -118,6 +122,12 @@ class DeviceClassifier:
             from ..ops.intersect_pallas import intersection_counts_pallas
 
             return intersection_counts_pallas(
+                kmer_idx, self.kmer_major, self.db.num_tips
+            )
+        if self.backend == "stream":
+            from ..ops.intersect_stream import intersection_counts_stream
+
+            return intersection_counts_stream(
                 kmer_idx, self.kmer_major, self.db.num_tips
             )
         return intersection_counts_xla(jnp.asarray(query_bits), self.ref_bits)

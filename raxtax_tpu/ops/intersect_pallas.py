@@ -1,0 +1,207 @@
+"""Pallas intersection-count kernel: gathered postings + Harley-Seal popcount.
+
+The TPU-native dual of the reference's inverted-index walk
+(reference: src/raxtax.rs:58-64 `for k in kmers: for id in postings[k]:
+buffer[id] += 1`). Instead of scattering, each query *gathers* the packed
+postings bitvector row of every one of its k-mers (kmer-major matrix
+``P[65537, Nw] uint32``, bit n of row k = "reference n contains k-mer k")
+and accumulates the rows with **vertical (bit-sliced) counters**.
+
+Division of labor:
+
+- XLA performs the row gather (`kmer_major[kmer_idx]`) — a single fused
+  gather at full HBM bandwidth, avoiding per-row DMA issue overhead (which
+  dominated a manual `make_async_copy`-per-row variant);
+- the Pallas kernel streams the now-contiguous rows through VMEM via the
+  BlockSpec pipeline (16 rows per grid step) and folds them with a
+  **Harley-Seal carry-save adder tree**: persistent `ones/twos/fours/eights`
+  tier vectors per query plus binary counter planes for weight >= 16. Cost is
+  ~5.6 vector ops per word per row versus 27 for a plain ripple-carry.
+
+Work per query is O(|kmers| · N/32) word-ops instead of the dense matmul's
+O(65536 · N) MACs — a 50-100x reduction at barcode k-mer densities. Padded
+k-mer slots point at row 65536, which is all zeros (a CSA no-op).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..db.bitmatrix import WORD_BITS
+
+HS_BLOCK = 16  #: rows folded per grid step (one Harley-Seal block)
+LANE = 128  #: lane width; Nw is padded to a multiple of this
+PAD_ROW = 0x10000  #: index of the all-zero padding row (65536)
+TIERS = 4  #: ones/twos/fours/eights persistent tiers (weights 1,2,4,8)
+
+
+def _csa(a, b, c):
+    """Full adder on bit vectors: returns (sum, carry) — 5 vector ops."""
+    s = a ^ b ^ c
+    carry = (a & b) | ((a ^ b) & c)
+    return s, carry
+
+
+def _hs_kernel(n_high: int):
+    """Harley-Seal 16-block kernel. Output planes: [ones, twos, fours,
+    eights, p16, p32, ...] — plane i has weight 2^i."""
+
+    def kernel(rows_ref, out_ref, acc):
+        # rows_ref: VMEM [HS_BLOCK, S, 128] (one block of gathered rows)
+        # acc: VMEM [TIERS + n_high, S, 128] persistent accumulator
+        k = pl.program_id(1)
+        n_k = pl.num_programs(1)
+
+        @pl.when(k == 0)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+
+        x = [rows_ref[i] for i in range(HS_BLOCK)]
+        ones, twos = acc[0], acc[1]
+        fours, eights = acc[2], acc[3]
+
+        ones, t0 = _csa(ones, x[0], x[1])
+        ones, t1 = _csa(ones, x[2], x[3])
+        twos, f0 = _csa(twos, t0, t1)
+        ones, t0 = _csa(ones, x[4], x[5])
+        ones, t1 = _csa(ones, x[6], x[7])
+        twos, f1 = _csa(twos, t0, t1)
+        fours, e0 = _csa(fours, f0, f1)
+        ones, t0 = _csa(ones, x[8], x[9])
+        ones, t1 = _csa(ones, x[10], x[11])
+        twos, f0 = _csa(twos, t0, t1)
+        ones, t0 = _csa(ones, x[12], x[13])
+        ones, t1 = _csa(ones, x[14], x[15])
+        twos, f1 = _csa(twos, t0, t1)
+        fours, e1 = _csa(fours, f0, f1)
+        eights, sixteens = _csa(eights, e0, e1)
+
+        acc[0], acc[1], acc[2], acc[3] = ones, twos, fours, eights
+        # ripple the weight-16 carry into the binary counter planes
+        carry = sixteens
+        for p in range(n_high):
+            plane = acc[TIERS + p]
+            acc[TIERS + p] = plane ^ carry
+            carry = plane & carry
+
+        @pl.when(k == n_k - 1)
+        def _():
+            out_ref[0] = acc[...]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("batch", "n_high", "interpret")
+)
+def _hs_planes(
+    rows: jax.Array,  # [B * n_blocks * 16, S, 128] uint32 gathered rows
+    batch: int,
+    n_high: int,
+    interpret: bool = False,
+) -> jax.Array:  # [B, TIERS + n_high, S, 128] uint32, plane i weight 2^i
+    total, sublanes, lanes = rows.shape
+    n_blocks = total // batch // HS_BLOCK
+    n_planes = TIERS + n_high
+    grid = (batch, n_blocks)
+    return pl.pallas_call(
+        _hs_kernel(n_high),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (HS_BLOCK, sublanes, lanes),
+                lambda b, k: (b * n_blocks + k, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, n_planes, sublanes, lanes),
+            lambda b, k: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (batch, n_planes, sublanes, lanes), jnp.uint32
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_planes, sublanes, lanes), jnp.uint32)
+        ],
+        interpret=interpret,
+    )(rows)
+
+
+@functools.partial(jax.jit, static_argnames=("num_tips",))
+def _planes_to_counts(planes: jax.Array, num_tips: int):
+    """[B, P, S, 128] u32 planes (plane i weight 2^i) -> [B, num_tips] f32."""
+    B, n_planes = planes.shape[0], planes.shape[1]
+    flat = planes.reshape(B, n_planes, -1)
+    shifts = jnp.arange(WORD_BITS, dtype=jnp.uint32)
+    acc = jnp.zeros((B, flat.shape[-1], WORD_BITS), dtype=jnp.uint16)
+    for p in range(n_planes):
+        bits = ((flat[:, p, :, None] >> shifts) & jnp.uint32(1)).astype(
+            jnp.uint16
+        )
+        acc = acc + (bits << p)
+    return acc.reshape(B, -1)[:, :num_tips].astype(jnp.float32)
+
+
+def prepare_kmer_major(db) -> jax.Array:
+    """Device copy of the kmer-major matrix, lane-padded and tiled to
+    [65537, Nw/128, 128] (aligned (sublane, lane) tiles)."""
+    km = db.kmer_major
+    pad = (-km.shape[1]) % LANE
+    if pad:
+        km = np.pad(km, ((0, 0), (0, pad)))
+    return jnp.asarray(km.reshape(km.shape[0], -1, LANE))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_tips", "n_high", "interpret")
+)
+def _counts_once(kmer_idx, kmer_major, num_tips, n_high, interpret):
+    rows = kmer_major[kmer_idx.reshape(-1)]  # XLA gather, [B*K_pad, S, 128]
+    planes = _hs_planes(
+        rows, batch=kmer_idx.shape[0], n_high=n_high, interpret=interpret
+    )
+    return _planes_to_counts(planes, num_tips)
+
+
+def intersection_counts_pallas(
+    kmer_idx: np.ndarray,  # [B, K_pad] int32, padded with PAD_ROW
+    kmer_major: jax.Array,  # prepared by prepare_kmer_major
+    num_tips: int,
+    max_count: int | None = None,
+    interpret: bool | None = None,
+    gather_budget_bytes: int = 1 << 30,
+) -> jax.Array:  # [B, num_tips] f32
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    kmer_idx = np.asarray(kmer_idx)
+    B, k_pad = kmer_idx.shape
+    assert k_pad % HS_BLOCK == 0
+    max_count = max_count if max_count is not None else k_pad
+    n_high = max(int(np.ceil(np.log2(max_count + 1))) - TIERS, 1)
+    # chunk the query batch so the gathered rows stay under the HBM budget
+    row_bytes = int(np.prod(kmer_major.shape[1:])) * 4
+    b_sub = max(1, min(B, gather_budget_bytes // (k_pad * row_bytes)))
+    outs = []
+    for lo in range(0, B, b_sub):
+        chunk = kmer_idx[lo : lo + b_sub]
+        if chunk.shape[0] < b_sub:
+            chunk = np.pad(
+                chunk,
+                ((0, b_sub - chunk.shape[0]), (0, 0)),
+                constant_values=PAD_ROW,
+            )
+        outs.append(
+            _counts_once(
+                jnp.asarray(chunk), kmer_major, num_tips, n_high, interpret
+            )
+        )
+    counts = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    return counts[:B]
