@@ -1,0 +1,154 @@
+#!/usr/bin/env python
+"""Driver benchmark: end-to-end classification throughput on one chip.
+
+Builds a deterministic synthetic COI-like reference database (size set by
+RAXTAX_BENCH_REFS, default 65536), classifies a fixed query workload through
+the full device pipeline (intersection counts -> histogram -> probability
+model -> lineage evaluation -> formatted output lines), and prints ONE JSON
+line:
+
+    {"metric": ..., "value": qps, "unit": "queries/s/chip", "vs_baseline": r}
+
+`vs_baseline` is measured live against the host oracle classifier — a
+vectorized NumPy implementation of the reference algorithm (the same
+inverted-index/intersection/probability pipeline raxtax runs on CPU,
+reference: src/raxtax.rs:36-97) on this machine's CPU. The reference repo
+publishes no absolute numbers (BASELINE.md), so the oracle is the
+reproducible stand-in for "reference algorithm on host".
+
+The synthetic DB is cached in /tmp between runs; all progress chatter goes
+to stderr so stdout carries exactly the one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+N_REFS = int(os.environ.get("RAXTAX_BENCH_REFS", 65536))
+N_QUERIES = int(os.environ.get("RAXTAX_BENCH_QUERIES", 4096))
+BATCH = int(os.environ.get("RAXTAX_BENCH_BATCH", 256))
+BACKEND = os.environ.get("RAXTAX_BENCH_BACKEND", "auto")
+ORACLE_QUERIES = int(os.environ.get("RAXTAX_BENCH_ORACLE_QUERIES", 16))
+SEQ_LEN = 400
+N_FAMILIES = 512
+
+_ENC = np.array([1, 2, 4, 8], dtype=np.uint8)  # 4-bit A/C/G/T codes
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def synth_records(n_refs: int, seed: int = 42):
+    """Deterministic COI-like records: family consensus + point mutations."""
+    rng = np.random.default_rng(seed)
+    fam = rng.integers(0, 4, size=(N_FAMILIES, SEQ_LEN), dtype=np.int8)
+    lineages = []
+    seqs = []
+    for i in range(n_refs):
+        lineages.append(
+            f"p:P{i % 4},c:C{i % 16},o:O{i % 64},f:F{i % N_FAMILIES},"
+            f"g:G{i % (n_refs // 8 or 1)},s:S{i}"
+        )
+        s = fam[i % N_FAMILIES].copy()
+        pos = rng.integers(0, SEQ_LEN, size=30)
+        s[pos] = rng.integers(0, 4, size=30)
+        seqs.append(_ENC[s])
+    return fam, lineages, seqs
+
+
+def synth_queries(fam: np.ndarray, n: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n):
+        s = fam[i % N_FAMILIES].copy()
+        pos = rng.integers(0, SEQ_LEN, size=10)
+        s[pos] = rng.integers(0, 4, size=10)
+        out.append((f"q{i}", _ENC[s]))
+    return out
+
+
+def get_database(lineages, seqs):
+    from raxtax_tpu.db.database import build_database, load_database, save_database
+
+    cache = Path(f"/tmp/raxtax_bench_db_{N_REFS}_v1.npz")
+    if cache.is_file():
+        try:
+            t0 = time.time()
+            db = load_database(cache)
+            log(f"loaded cached DB in {time.time() - t0:.1f}s: {cache}")
+            return db
+        except Exception as e:  # stale/corrupt cache
+            log(f"cache load failed ({e}); rebuilding")
+    t0 = time.time()
+    db = build_database(lineages, seqs)
+    log(f"built {N_REFS}-ref DB in {time.time() - t0:.1f}s")
+    try:
+        save_database(db, cache)
+    except OSError as e:
+        log(f"could not cache DB: {e}")
+    return db
+
+
+def measure_tpu(db, queries) -> float:
+    from raxtax_tpu.engine.device import DeviceClassifier
+
+    clf = DeviceClassifier.create(db, backend=BACKEND, batch_size=BATCH)
+    log(f"backend={clf.backend} batch={clf.batch_size}")
+    t0 = time.time()
+    clf.classify_batch(queries[: clf.batch_size])
+    log(f"warmup (compile) batch: {time.time() - t0:.1f}s")
+    done = 0
+    t0 = time.time()
+    for lo in range(0, len(queries), clf.batch_size):
+        chunk = queries[lo : lo + clf.batch_size]
+        results = clf.classify_batch(chunk)
+        for r in results:
+            r.out_string()
+        done += len(chunk)
+    dt = time.time() - t0
+    log(f"tpu: {done} queries in {dt:.2f}s")
+    return done / dt
+
+
+def measure_oracle(db, queries) -> float:
+    from raxtax_tpu.models.oracle import OracleClassifier
+
+    o = OracleClassifier(db)
+    t0 = time.time()
+    for label, seq in queries[:ORACLE_QUERIES]:
+        o.classify(label, seq).out_string()
+    dt = time.time() - t0
+    log(f"oracle: {ORACLE_QUERIES} queries in {dt:.2f}s")
+    return ORACLE_QUERIES / dt
+
+
+def main() -> int:
+    fam, lineages, seqs = synth_records(N_REFS)
+    db = get_database(lineages, seqs)
+    queries = synth_queries(fam, N_QUERIES)
+    qps = measure_tpu(db, queries)
+    base = measure_oracle(db, queries)
+    print(
+        json.dumps(
+            {
+                "metric": f"classify_throughput_{N_REFS}ref_db",
+                "value": round(qps, 2),
+                "unit": "queries/s/chip",
+                "vs_baseline": round(qps / base, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -33,7 +33,7 @@ from ..models.oracle import (
     apply_exact_match_policy,
 )
 from ..prob.model import KTableCache, normalized_size_probs
-from ..utils.encoding import sequence_to_kmers
+from ..utils.encoding import round_half_away, sequence_to_kmers
 
 log = logging.getLogger("raxtax")
 
@@ -227,9 +227,17 @@ class DeviceClassifier:
                 int(eval_ids[idx[b, j]]): float(vals[b, j]) for j in range(m)
             }
             sig_sets.append(sig)
-            parents_of_sig = {int(tax.parent[n]) for n in sig}
-            cands = set(sig) | {ROOT}
-            for n in cands:
+            # Fallback sites must mirror evaluate_significant's pruning: the
+            # device threshold has f32 slack below the 0.005 rounding cutoff,
+            # so a raw-significant child can still round to zero — making its
+            # parent a fallback site.
+            rounded_sig = {
+                n
+                for n, v in sig.items()
+                if round_half_away(v) != 0.0 and n != ROOT
+            }
+            parents_of_sig = {int(tax.parent[n]) for n in rounded_sig}
+            for n in rounded_sig | {ROOT}:
                 if tax.node_type[n] == NODE_INNER and n not in parents_of_sig:
                     sites.append((b, int(tax.eval_pos[n])))
 
