@@ -108,12 +108,20 @@ def measure_tpu(db, queries) -> float:
     log(f"warmup (compile) batch: {time.time() - t0:.1f}s")
     done = 0
     t0 = time.time()
+    # two-deep three-phase pipeline, mirroring engine/classify.py
+    pending = None
     for lo in range(0, len(queries), clf.batch_size):
         chunk = queries[lo : lo + clf.batch_size]
-        results = clf.classify_batch(chunk)
-        for r in results:
+        a_state = clf.submit_batch(chunk)
+        if pending is not None:
+            for r in clf.finalize_batch(pending):
+                r.out_string()
+                done += 1
+        pending = clf.prepare_batch(a_state)
+    if pending is not None:
+        for r in clf.finalize_batch(pending):
             r.out_string()
-        done += len(chunk)
+            done += 1
     dt = time.time() - t0
     log(f"tpu: {done} queries in {dt:.2f}s")
     return done / dt

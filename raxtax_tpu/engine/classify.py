@@ -66,21 +66,39 @@ def run_queries(
     progress = Progress(len(queries), "Running Queries...")
     tsv = args.tsv
     batch_size = getattr(classifier, "batch_size", 1)
+
+    def emit(results: list[QueryResult]):
+        nonlocal warnings
+        for qr in results:
+            warnings |= qr.mislabel_warning
+            writer.send(
+                qr.label,
+                qr.out_string(),
+                qr.tsv_string() if tsv else None,
+            )
+        progress.inc(len(results))
+
     with phase_timer("raxtax"):
-        for start in range(0, len(queries), batch_size):
-            chunk = queries[start : start + batch_size]
-            if hasattr(classifier, "classify_batch"):
-                results: list[QueryResult] = classifier.classify_batch(chunk)
-            else:
-                results = [classifier.classify(l, s) for l, s in chunk]
-            for qr in results:
-                warnings |= qr.mislabel_warning
-                writer.send(
-                    qr.label,
-                    qr.out_string(),
-                    qr.tsv_string() if tsv else None,
-                )
-            progress.inc(len(chunk))
+        if hasattr(classifier, "submit_batch"):
+            # two-deep software pipeline, three phases per batch:
+            #   A submit   — host prep + counts/hist dispatch
+            #   B prepare  — hist pull, prob model, significance dispatch
+            #   C finalize — pulls, descents, evaluation
+            # Loop order A(i+1), C(i), B(i+1) keeps batch i's pulls ahead of
+            # batch i+1's device dispatches in the device queue.
+            pending = None
+            for start in range(0, len(queries), batch_size):
+                chunk = queries[start : start + batch_size]
+                a_state = classifier.submit_batch(chunk)
+                if pending is not None:
+                    emit(classifier.finalize_batch(pending))
+                pending = classifier.prepare_batch(a_state)
+            if pending is not None:
+                emit(classifier.finalize_batch(pending))
+        else:
+            for start in range(0, len(queries), batch_size):
+                chunk = queries[start : start + batch_size]
+                emit([classifier.classify(l, s) for l, s in chunk])
     progress.finish()
     if warnings:
         report_warning(

@@ -44,6 +44,61 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def gather_count_rows(counts, fb_queries: list[int]) -> np.ndarray:
+    """[len(fb_queries), N] uint16 count rows pulled from the device.
+
+    The row-index vector is padded to a power-of-two bucket so the gather
+    compiles once per bucket size, and rows cross the wire as u16 (counts
+    are bounded by the 65,535 distinct-k-mer assert, src/raxtax.rs:56).
+    """
+    import jax.numpy as jnp
+
+    m = len(fb_queries)
+    m_pad = max(8, 1 << (m - 1).bit_length())
+    idx = np.zeros(m_pad, np.int32)
+    idx[:m] = fb_queries
+    rows = _gather_rows_u16()(counts, jnp.asarray(idx))
+    return np.asarray(rows)[:m]
+
+
+_GATHER_JIT = None
+
+
+def _gather_rows_u16():
+    global _GATHER_JIT
+    if _GATHER_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        _GATHER_JIT = jax.jit(
+            lambda counts, idx: jnp.take(counts, idx, axis=0).astype(
+                jnp.uint16
+            )
+        )
+    return _GATHER_JIT
+
+
+
+def descent_arrays(tax, chunk: int = 256):
+    """CSR child index for the device fallback descent, in GLOBAL node space
+    (the reference's max_by ranges over all children, including childless
+    Sequence nodes, src/lineage.rs:154-170).
+
+    Returns (child_ptr int32 [n+1], child_ids int32 [C+chunk] zero-padded,
+    node_is_inner bool [n], pad_node) where `pad_node` is a non-Inner node id
+    safe to use for padded descent slots (a no-op descent).
+    """
+    ptr = tax.child_ptr.astype(np.int32)
+    ids = np.concatenate(
+        [tax.child_ids.astype(np.int32), np.zeros(chunk, np.int32)]
+    )
+    is_inner = tax.node_type == NODE_INNER
+    # the last created node is always a Sequence leaf (never Inner)
+    pad_node = tax.n_nodes - 1
+    assert not is_inner[pad_node]
+    return ptr, ids, is_inner, pad_node
+
+
 @dataclass
 class DeviceClassifier:
     """Batched classifier running the count/histogram/aggregation pipeline
@@ -54,6 +109,12 @@ class DeviceClassifier:
     raw_confidence: bool
     backend: str
     batch_size: int
+    #: "exact": host f64 descent over transferred u16 count rows — bit-exact
+    #: to the reference's sequential f64 prefix sums (src/lineage.rs:62-67,
+    #: 154-170). "device": f32 descent on device, no count transfer — faster
+    #: when fallbacks are dense, but exact argmax ties can resolve
+    #: differently than the reference's f64 rounding.
+    descent: str = "exact"
     # device-resident state
     pipeline: object = field(repr=False, default=None)  #: ShardedPipeline | None
     ref_bits: object = field(repr=False, default=None)
@@ -61,6 +122,9 @@ class DeviceClassifier:
     node_ends: object = field(repr=False, default=None)
     _cache: KTableCache = field(default_factory=KTableCache, repr=False)
     _oracle: OracleClassifier = field(default=None, repr=False)
+    #: previous batch had dense fallbacks -> prefetch the whole u16 count
+    #: matrix in prepare_batch instead of a per-site gather in finalize
+    _fb_dense: bool = field(default=False, repr=False)
 
     @classmethod
     def create(
@@ -71,6 +135,7 @@ class DeviceClassifier:
         backend: str = "auto",
         batch_size: int | None = None,
         mesh=None,
+        descent: str = "exact",
     ) -> "DeviceClassifier":
         import jax.numpy as jnp
 
@@ -86,6 +151,7 @@ class DeviceClassifier:
             raw_confidence=raw_confidence,
             backend=backend,
             batch_size=batch_size or 256,
+            descent=descent,
         )
         if mesh is not None:
             from ..parallel.mesh import ShardedPipeline
@@ -98,6 +164,15 @@ class DeviceClassifier:
             self.ref_bits = jnp.asarray(db.ref_major)
         self.node_starts = jnp.asarray(tax.range_start[eval_ids])
         self.node_ends = jnp.asarray(tax.range_end[eval_ids])
+        if mesh is None:
+            ptr, ids, is_inner, self._pad_node = descent_arrays(tax)
+            self.dsc_range_start = jnp.asarray(tax.range_start)
+            self.dsc_range_end = jnp.asarray(tax.range_end)
+            self.dsc_child_ptr = jnp.asarray(ptr)
+            self.dsc_child_ids = jnp.asarray(ids)
+            self.dsc_is_inner = jnp.asarray(is_inner)
+        else:
+            self._pad_node = self.pipeline.pad_node
         self._oracle = OracleClassifier(
             db, skip_exact_matches=skip_exact_matches, raw_confidence=raw_confidence
         )
@@ -132,16 +207,111 @@ class DeviceClassifier:
             )
         return intersection_counts_xla(jnp.asarray(query_bits), self.ref_bits)
 
-    def classify_batch(
-        self, chunk: list[tuple[str, np.ndarray]]
-    ) -> list[QueryResult]:
+    def _resolve_fallbacks(
+        self,
+        sites: list[tuple[int, int]],  # (query, eval_pos) descent starts
+        counts,
+        cum0,
+        tables64: list[np.ndarray | None],
+        eval_ids: np.ndarray,
+        rows_pre=None,  # prefetched u16 count matrix (device handle) or None
+    ) -> dict[tuple[int, int], int]:
+        """Max-confidence descents for every site (src/lineage.rs:151-177).
+
+        Returns {(query, global start node) -> final Taxon/Sequence node}.
+        """
+        import jax.numpy as jnp
+
+        if not sites:
+            return {}
+        tax = self.db.taxonomy
+        fallback_map: dict[tuple[int, int], int] = {}
+
+        if self.descent == "device":
+            from ..ops.nodeconf import max_descent
+
+            m = len(sites)
+            m_pad = max(8, 1 << (m - 1).bit_length())
+            b_arr = np.zeros(m_pad, np.int32)
+            start_arr = np.full(m_pad, self._pad_node, np.int32)
+            for i, (b, pos) in enumerate(sites):
+                b_arr[i] = b
+                start_arr[i] = int(eval_ids[pos])
+            if self.pipeline is not None:
+                finals = self.pipeline.descend(cum0, b_arr, start_arr)
+            else:
+                finals = np.asarray(
+                    max_descent(
+                        cum0,
+                        jnp.asarray(b_arr),
+                        jnp.asarray(start_arr),
+                        self.dsc_range_start,
+                        self.dsc_range_end,
+                        self.dsc_child_ptr,
+                        self.dsc_child_ids,
+                        self.dsc_is_inner,
+                    )
+                )
+            for i, (b, pos) in enumerate(sites):
+                fallback_map[(b, int(eval_ids[pos]))] = int(finals[i])
+            return fallback_map
+
+        # exact mode: replay the reference's sequential f64 prefix sums on
+        # host over u16 count rows of just the affected queries, transferred
+        # in power-of-two buckets (one compiled gather per bucket size)
+        fb_queries = sorted({b for b, _ in sites})
+        if rows_pre is not None:
+            from ..ops.compress import decompress_rows
+
+            plane, over_idx, over_val, n_over = (
+                np.asarray(a) for a in rows_pre
+            )
+            rows, over_budget = decompress_rows(
+                plane, over_idx, over_val, n_over,
+                fb_queries, self.db.num_tips,
+            )
+            if over_budget:  # rare: overflow list didn't fit the budget
+                exact_rows = gather_count_rows(
+                    counts, [fb_queries[i] for i in over_budget]
+                )[:, : self.db.num_tips]
+                rows[over_budget] = exact_rows
+        else:
+            rows = gather_count_rows(counts, fb_queries)[
+                :, : self.db.num_tips
+            ]
+        by_b: dict[int, list[int]] = {}
+        for b, pos in sites:
+            by_b.setdefault(b, []).append(pos)
+        rs, re = tax.range_start, tax.range_end
+        for row, b in zip(rows, fb_queries):
+            tipp = tables64[b][row]
+            cum = np.concatenate(([0.0], np.cumsum(tipp)))
+            for pos in by_b[b]:
+                cur = int(eval_ids[pos])
+                while tax.node_type[cur] == NODE_INNER:
+                    kids = tax.children(cur)
+                    # on-demand range sums: descents touch a handful of nodes
+                    v = cum[re[kids]] - cum[rs[kids]]
+                    # Rust max_by keeps the LAST maximal element
+                    best = len(v) - 1 - int(np.argmax(v[::-1]))
+                    cur = int(kids[best])
+                fallback_map[(b, int(eval_ids[pos]))] = cur
+        return fallback_map
+
+    def submit_batch(self, chunk: list[tuple[str, np.ndarray]]):
+        """Host prep + async device dispatch of the counts/histogram stage.
+
+        Returns an opaque batch state for :meth:`finalize_batch`. Device work
+        proceeds in the background (JAX async dispatch), so the caller can
+        overlap the next batch's device compute with this batch's host
+        stages — the TPU-native analogue of the reference's pipelined rayon
+        chunks (src/raxtax.rs:36-37).
+        """
         import jax.numpy as jnp
 
         from ..ops.histogram import intersection_histogram
         from ..ops.intersect_xla import zero_reference_ids
-        from ..ops.nodeconf import significant_nodes
 
-        tax = self.db.taxonomy
         n_real = len(chunk)
         B = self.batch_size
         labels = [l for l, _ in chunk]
@@ -172,7 +342,7 @@ class DeviceClassifier:
                 ids[i, : len(e)] = e
 
         if self.pipeline is not None:
-            counts, hist = self.pipeline.counts_and_hist(
+            counts, hist_dev = self.pipeline.counts_and_hist(
                 query_bits, ids, s_max
             )
         else:
@@ -181,7 +351,26 @@ class DeviceClassifier:
             )
             if e_pad:
                 counts = zero_reference_ids(counts, jnp.asarray(ids))
-            hist = np.asarray(intersection_histogram(counts, s_max))
+            hist_dev = intersection_histogram(counts, s_max)
+        hist_dev.copy_to_host_async()
+        return (labels, seqs, exact, ks, s_max, n_real, counts, hist_dev)
+
+    def prepare_batch(self, state):
+        """Phase B: pull the histogram, run the host f64 probability model,
+        dispatch the significance compaction (and, when the previous batch
+        had dense fallbacks, prefetch the u16 count rows). No device results
+        are pulled, so a following phase-A dispatch of the next batch queues
+        behind this batch's device work — never in front of its pulls."""
+        import jax.numpy as jnp
+
+        from ..ops.nodeconf import significant_nodes
+
+        labels, seqs, exact, ks, s_max, n_real, counts, hist_dev = state
+        B = self.batch_size
+        hist = np.array(hist_dev)  # sync point: device counts+histogram
+        if self.pipeline is not None:
+            # padded reference rows count as intersection size 0
+            hist[:, 0] -= self.pipeline.n_padded - self.db.num_tips
 
         # host f64 stage: per-size probabilities + global signal
         table = np.zeros((B, s_max), dtype=np.float32)
@@ -197,20 +386,44 @@ class DeviceClassifier:
             tables64[b] = probs_size
 
         if self.pipeline is not None:
-            vals, idx, n_sig, node_conf = self.pipeline.significant(
+            vals, idx, n_sig, cum0 = self.pipeline.significant(
                 counts, table, TOP_K
             )
         else:
-            vals, idx, n_sig, node_conf = significant_nodes(
+            vals, idx, n_sig, cum0 = significant_nodes(
                 counts,
                 jnp.asarray(table),
                 self.node_starts,
                 self.node_ends,
                 top_k=TOP_K,
             )
-            vals = np.asarray(vals)
-            idx = np.asarray(idx)
-            n_sig = np.asarray(n_sig)
+        rows_pre = None
+        if self.descent == "exact" and self._fb_dense:
+            from ..ops.compress import compress_counts
+
+            rows_pre = compress_counts(counts)
+            for part in rows_pre:
+                part.copy_to_host_async()
+        # start the tunnel transfers now; finalize_batch consumes them after
+        # the next batch's submit, so wire time hides behind host work
+        for h in (vals, idx, n_sig):
+            h.copy_to_host_async()
+        return (
+            labels, seqs, exact, n_real, counts, cum0,
+            tables64, global_signals, vals, idx, n_sig, rows_pre,
+        )
+
+    def finalize_batch(self, state) -> list[QueryResult]:
+        if len(state) == 8:  # phase-A state: run phase B inline
+            state = self.prepare_batch(state)
+        (
+            labels, seqs, exact, n_real, counts, cum0,
+            tables64, global_signals, vals, idx, n_sig, rows_pre,
+        ) = state
+        tax = self.db.taxonomy
+        vals = np.asarray(vals)
+        idx = np.asarray(idx)
+        n_sig = np.asarray(n_sig)
 
         # collect fallback descent sites across the batch
         eval_ids = tax.eval_ids
@@ -241,33 +454,13 @@ class DeviceClassifier:
                 if tax.node_type[n] == NODE_INNER and n not in parents_of_sig:
                     sites.append((b, int(tax.eval_pos[n])))
 
-        # Fallback descents run on host in f64: the argmax compares
-        # near-equal child confidences, where f32 cumsum cancellation can
-        # disagree with the reference's f64 ordering. Only the exact counts
-        # rows of affected queries cross back to the host.
-        fallback_map: dict[tuple[int, int], int] = {}
-        if sites:
-            fb_queries = sorted({b for b, _ in sites})
-            rows = np.asarray(counts[np.asarray(fb_queries)])[
-                :, : self.db.num_tips
-            ].astype(np.int64)
-            for row, b in zip(rows, fb_queries):
-                probs = tables64[b][row]
-                cum0 = np.concatenate(([0.0], np.cumsum(probs)))
-                conf64 = (
-                    cum0[tax.range_end] - cum0[tax.range_start]
-                )  # per global node
-                for b2, pos in sites:
-                    if b2 != b:
-                        continue
-                    cur = int(eval_ids[pos])
-                    while tax.node_type[cur] == NODE_INNER:
-                        kids = tax.children(cur)
-                        vals_k = conf64[kids]
-                        # Rust max_by keeps the LAST maximal element
-                        best = len(vals_k) - 1 - int(np.argmax(vals_k[::-1]))
-                        cur = int(kids[best])
-                    fallback_map[(b, int(eval_ids[pos]))] = cur
+        # adaptive prefetch for the next batch: if at least half the queries
+        # needed a fallback descent, the next prepare_batch pulls the whole
+        # u16 count matrix instead of a per-site gather
+        self._fb_dense = len({b for b, _ in sites}) * 2 >= max(n_real, 1)
+        fallback_map = self._resolve_fallbacks(
+            sites, counts, cum0, tables64, eval_ids, rows_pre
+        )
 
         out: list[QueryResult] = []
         for b in range(n_real):
@@ -305,3 +498,8 @@ class DeviceClassifier:
                 )
             )
         return out
+
+    def classify_batch(
+        self, chunk: list[tuple[str, np.ndarray]]
+    ) -> list[QueryResult]:
+        return self.finalize_batch(self.submit_batch(chunk))

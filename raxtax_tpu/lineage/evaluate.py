@@ -27,6 +27,7 @@ Semantics preserved exactly:
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from typing import Callable, Mapping
 
@@ -66,16 +67,22 @@ class EvaluationResult:
         )
 
 
-def euclidean_distance_l1(a: np.ndarray, b: np.ndarray) -> float:
-    """L2 distance between sum-normalized vectors (src/utils.rs:91-105)."""
-    a = np.asarray(a, dtype=np.float64)
-    b = np.asarray(b, dtype=np.float64)
-    assert a.shape == b.shape
-    if a.size == 0:
+def euclidean_distance_l1(a, b) -> float:
+    """L2 distance between sum-normalized vectors (src/utils.rs:91-105).
+
+    Pure-Python math: the vectors are lineage-depth-sized (a handful of
+    levels), called once per output line — numpy overhead dominates there.
+    """
+    assert len(a) == len(b)
+    if len(a) == 0:
         return 0.0
-    a_sum, b_sum = a.sum(), b.sum()
+    # sequential left-to-right sums, matching Rust's Iterator::sum rounding
+    a_sum = sum(a)
+    b_sum = sum(b)
     assert a_sum > 0.0 and b_sum > 0.0
-    return float(np.sqrt(((a / a_sum - b / b_sum) ** 2).sum()))
+    return math.sqrt(
+        sum((x / a_sum - y / b_sum) ** 2 for x, y in zip(a, b))
+    )
 
 
 def evaluate_significant(
@@ -137,12 +144,12 @@ def evaluate_significant(
 
     out = []
     for tip, conf_values, expected in results:
-        exp_arr = np.asarray(expected)
-        below = np.nonzero(exp_arr < 1.0)[0]
-        start = int(below[0]) if below.size else len(expected) - 1
-        local = euclidean_distance_l1(
-            np.asarray(conf_values[start:]), exp_arr[start:]
-        )
+        start = len(expected) - 1
+        for i, e in enumerate(expected):
+            if e < 1.0:
+                start = i
+                break
+        local = euclidean_distance_l1(conf_values[start:], expected[start:])
         out.append(
             EvaluationResult(
                 query_label=query_label,

@@ -1,0 +1,102 @@
+"""Exact lossless count-matrix compression for device->host transfer.
+
+The exact fallback descent (reference: src/lineage.rs:151-177) replays the
+reference's sequential f64 prefix sums on host, which needs the per-tip
+intersection counts of the affected queries. Pulling them raw costs
+2 bytes/tip; the tunnel to the device is the bottleneck (~45 MB/s), so the
+count matrix is split device-side into:
+
+- a packed 4-bit plane (counts clamped at 15, eight tips per uint32) — the
+  overwhelming majority of counts on real workloads are small; and
+- an exact overflow list per query: (tip, count) pairs for counts > 15,
+  extracted with a cumsum-rank scatter into a fixed ``budget`` of slots.
+
+Host reconstruction is exact whenever a query's overflow count fits the
+budget; callers must re-pull raw u16 rows for the (rare) queries where
+``n_over > budget``.
+
+This halves-to-thirds the bytes on the wire versus raw u16 at a few ms of
+device compute — a pure win under the tunnel's flat ~45 MB/s.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+OVER_BUDGET = 1024  #: default overflow slots per query
+
+_NIBBLE_SHIFTS = np.arange(8, dtype=np.uint32) * 4
+
+
+@partial(jax.jit, static_argnames=("budget",))
+def compress_counts(counts: jax.Array, budget: int = OVER_BUDGET):
+    """counts [B, N] f32 (exact ints) -> (plane u32 [B, ceil(N/8)],
+    over_idx i32 [B, budget], over_val u16 [B, budget], n_over i32 [B])."""
+    B, N = counts.shape
+    ci = counts.astype(jnp.int32)
+    pad = (-N) % 8
+    lo = jnp.minimum(ci, 15).astype(jnp.uint32)
+    if pad:
+        lo = jnp.pad(lo, ((0, 0), (0, pad)))
+    lo8 = lo.reshape(B, -1, 8)
+    shifts = jnp.asarray(_NIBBLE_SHIFTS)[None, None, :]
+    plane = (lo8 << shifts).sum(axis=2, dtype=jnp.uint32)
+
+    mask = ci > 15
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
+    ok = mask & (rank < budget)
+    slot = jnp.where(ok, rank, budget)
+    rowid = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, N))
+    tip = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (B, N))
+    over_idx = (
+        jnp.zeros((B, budget + 1), jnp.int32)
+        .at[rowid, slot]
+        .set(tip, mode="drop")
+    )
+    over_val = (
+        jnp.zeros((B, budget + 1), jnp.int32)
+        .at[rowid, slot]
+        .set(ci, mode="drop")
+    )
+    n_over = mask.sum(axis=1).astype(jnp.int32)
+    return (
+        plane,
+        over_idx[:, :budget],
+        over_val[:, :budget].astype(jnp.uint16),
+        n_over,
+    )
+
+
+def decompress_rows(
+    plane: np.ndarray,
+    over_idx: np.ndarray,
+    over_val: np.ndarray,
+    n_over: np.ndarray,
+    rows: list[int],
+    num_tips: int,
+    budget: int = OVER_BUDGET,
+) -> tuple[np.ndarray, list[int]]:
+    """Reconstruct the selected u16 count rows on host.
+
+    Returns (counts u16 [len(rows), num_tips], over_budget_rows) where
+    `over_budget_rows` lists positions in `rows` whose overflow exceeded the
+    budget (their reconstruction is NOT exact; callers must re-pull those).
+    """
+    sel = np.asarray(rows, dtype=np.int64)
+    p = plane[sel]
+    out = (
+        (p[:, :, None] >> _NIBBLE_SHIFTS[None, None, :]) & np.uint32(15)
+    ).astype(np.uint16)
+    out = out.reshape(len(rows), -1)[:, :num_tips]
+    over_budget = []
+    for i, b in enumerate(sel):
+        n = int(n_over[b])
+        if n > budget:
+            over_budget.append(i)
+            continue
+        out[i, over_idx[b, :n]] = over_val[b, :n]
+    return out, over_budget

@@ -5,12 +5,16 @@ the pointer tree recursively (reference: src/lineage.rs:62-67, 114-179). On
 device this becomes: gather per-tip probabilities from the per-size table,
 one cumulative sum, two boundary gathers per eval node, and a top-k
 compaction of nodes above the 2-decimal significance threshold. Only the
-compacted (node, confidence) pairs cross back to the host.
+compacted (node, confidence) pairs cross back to the host; the per-tip
+cumsum stays device-resident for the fallback descent.
 
-The max-confidence fallback descent (src/lineage.rs:154-170) runs here too,
-as a masked `while_loop` over a CSR child index, vectorized over the batch of
-(query, start-node) pairs that need it. Ties pick the *last* maximal child,
-like Rust's `Iterator::max_by`.
+The max-confidence fallback descent (src/lineage.rs:154-170) runs on device
+too, as a `while_loop` over the global-node CSR child index, vectorized over
+the batch of (query, start-node) pairs that need it. It operates in *global*
+node space (not the eval view) because the reference's `max_by` ranges over
+ALL children — including childless Sequence nodes, whose confidence is a
+single-tip range sum. Ties pick the *last* maximal child, like Rust's
+`Iterator::max_by`.
 """
 
 from __future__ import annotations
@@ -26,6 +30,16 @@ import jax.numpy as jnp
 SIG_THRESHOLD = 0.005 - 1e-4
 
 
+def tip_prob_cumsum(counts: jax.Array, table: jax.Array) -> jax.Array:
+    """[B, N+1] f32 zero-prefixed cumsum of per-tip probabilities.
+
+    probs[b, n] = table[b, counts[b, n]] — the per-size probability of the
+    intersection count of reference n (reference: src/lineage.rs:62-67).
+    """
+    probs = jnp.take_along_axis(table, counts.astype(jnp.int32), axis=1)
+    return jnp.pad(jnp.cumsum(probs, axis=1), ((0, 0), (1, 0)))
+
+
 @partial(jax.jit, static_argnames=("top_k",))
 def significant_nodes(
     counts: jax.Array,  # [B, N] f32 (exact integer intersection sizes)
@@ -35,41 +49,56 @@ def significant_nodes(
     top_k: int = 1024,
 ):
     """Returns (conf_vals [B,k] f32, node_idx [B,k] i32, n_sig [B] i32,
-    node_conf_handle) — the top-k eval-node confidences above threshold.
+    cum0 [B,N+1] device handle) — the top-k eval-node confidences above
+    threshold plus the tip-probability cumsum for the fallback descent.
 
     `node_idx` indexes into the eval-node arrays; entries beyond `n_sig[b]`
-    are padding. `node_conf_handle` is the full [B, J] confidence matrix,
-    kept on device for the fallback descent.
+    are padding.
     """
-    probs = jnp.take_along_axis(table, counts.astype(jnp.int32), axis=1)
-    cum = jnp.cumsum(probs, axis=1)
-    cum0 = jnp.pad(cum, ((0, 0), (1, 0)))
+    cum0 = tip_prob_cumsum(counts, table)
     conf = cum0[:, node_ends] - cum0[:, node_starts]  # [B, J]
     sig = conf >= SIG_THRESHOLD
     n_sig = sig.sum(axis=1).astype(jnp.int32)
     masked = jnp.where(sig, conf, -1.0)
     k = min(top_k, conf.shape[1])
     vals, idx = jax.lax.top_k(masked, k)
-    return vals, idx.astype(jnp.int32), n_sig, conf
+    return vals, idx.astype(jnp.int32), n_sig, cum0
 
 
-@partial(jax.jit, static_argnames=("chunk",))
+@partial(jax.jit, static_argnames=("chunk", "psum_axis", "vary_axes"))
 def max_descent(
-    node_conf: jax.Array,  # [B, J] f32 eval-node confidences
+    cum0: jax.Array,  # [B, N+1] f32 tip-probability cumsum (local tips)
     b_idx: jax.Array,  # [M] int32 query index per descent
-    start_nodes: jax.Array,  # [M] int32 eval-node index to descend from
-    child_ptr: jax.Array,  # [J+1] int32 CSR pointers (eval-node children)
-    child_ids: jax.Array,  # [C + chunk] int32, padded with J (sentinel)
-    node_is_inner: jax.Array,  # [J] bool
-    chunk: int = 128,
+    start_nodes: jax.Array,  # [M] int32 GLOBAL node id to descend from
+    range_start: jax.Array,  # [n_nodes] int32 (clipped to local tips if sharded)
+    range_end: jax.Array,  # [n_nodes] int32
+    child_ptr: jax.Array,  # [n_nodes+1] int32 CSR pointers (global nodes)
+    child_ids: jax.Array,  # [C + chunk] int32, padded past C with 0
+    node_is_inner: jax.Array,  # [n_nodes] bool
+    chunk: int = 256,
+    psum_axis: str | None = None,
+    vary_axes: tuple[str, ...] = (),
 ):
-    """Vectorized max-confidence descent; returns final eval-node ids [M].
+    """Vectorized max-confidence descent; returns final GLOBAL node ids [M].
 
     Each (query, node) pair independently descends into the max-confidence
-    child while the current node is Inner. Children are scanned in id order
-    in fixed-size chunks; ties keep the later child (Rust max_by semantics:
-    `>=` replacement on an ascending scan).
+    child while the current node is Inner (src/lineage.rs:154-170). Children
+    are scanned in id order in fixed-size chunks; within a chunk the *last*
+    position attaining the max wins, and a later chunk replaces the carry on
+    `>=` — together Rust `max_by` semantics. Under `shard_map`, pass
+    `psum_axis` to merge per-shard partial range sums.
     """
+
+    def _vary(x):
+        # under shard_map the while carries must match the body's varying
+        # manual axes (values derived from the data-sharded cumsum)
+        return jax.lax.pcast(x, vary_axes, to="varying") if vary_axes else x
+
+    def conf_of(b, ids):
+        v = cum0[b, range_end[ids]] - cum0[b, range_start[ids]]
+        if psum_axis is not None:
+            v = jax.lax.psum(v, psum_axis)
+        return v
 
     def argmax_child(b, node):
         lo = child_ptr[node]
@@ -77,42 +106,37 @@ def max_descent(
 
         def chunk_body(state):
             off, best_val, best_id = state
-
             ids = jax.lax.dynamic_slice(child_ids, (off,), (chunk,))
-            j = off + jnp.arange(chunk, dtype=jnp.int32)
-            valid = j < hi
-            vals = jnp.where(valid, node_conf[b, ids], -jnp.inf)
-
-            def scan_step(carry, x):
-                bv, bi = carry
-                v, i = x
-                take = v >= bv  # later index wins ties
-                return (
-                    jnp.where(take, v, bv),
-                    jnp.where(take, i, bi),
-                ), None
-
-            (best_val, best_id), _ = jax.lax.scan(
-                scan_step, (best_val, best_id), (vals, ids)
+            j = jnp.arange(chunk, dtype=jnp.int32)
+            valid = (off + j) < hi
+            vals = jnp.where(valid, conf_of(b, ids), -jnp.inf)
+            cmax = vals.max()
+            # last in-chunk position attaining cmax
+            pos = jnp.max(jnp.where(vals == cmax, j, -1))
+            cid = ids[pos]
+            take = cmax >= best_val  # later chunk wins ties
+            return (
+                off + chunk,
+                jnp.where(take, cmax, best_val),
+                jnp.where(take, cid, best_id),
             )
-            return off + chunk, best_val, best_id
 
         def chunk_cond(state):
             off, _, _ = state
             return off < hi
 
         _, _, best = jax.lax.while_loop(
-            chunk_cond, chunk_body, (lo, -jnp.inf, jnp.int32(0))
+            chunk_cond,
+            chunk_body,
+            (lo, _vary(jnp.float32(-jnp.inf)), _vary(jnp.int32(0))),
         )
         return best
 
     def descend(b, node):
-        def cond(n):
-            return node_is_inner[n]
-
-        def body(n):
-            return argmax_child(b, n)
-
-        return jax.lax.while_loop(cond, body, node)
+        return jax.lax.while_loop(
+            lambda n: node_is_inner[n],
+            lambda n: argmax_child(b, n),
+            _vary(node),
+        )
 
     return jax.vmap(descend)(b_idx, start_nodes)

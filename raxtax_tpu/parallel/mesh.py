@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.histogram import intersection_histogram
 from ..ops.intersect_xla import intersection_counts_xla
-from ..ops.nodeconf import SIG_THRESHOLD
+from ..ops.nodeconf import SIG_THRESHOLD, max_descent, tip_prob_cumsum
 
 
 def make_mesh(spec: str = "", devices=None) -> Mesh:
@@ -73,9 +73,18 @@ class ShardedPipeline:
     ref_bits: jax.Array  #: [n_padded, 2048] u32, sharded over 'model'
     node_starts: jax.Array  #: [J] i32, replicated
     node_ends: jax.Array  #: [J] i32, replicated
+    # fallback-descent state (global node space, replicated)
+    dsc_range_start: jax.Array
+    dsc_range_end: jax.Array
+    dsc_child_ptr: jax.Array
+    dsc_child_ids: jax.Array
+    dsc_is_inner: jax.Array
+    pad_node: int
 
     @classmethod
     def create(cls, db, mesh: Mesh) -> "ShardedPipeline":
+        from ..engine.device import descent_arrays
+
         tax = db.taxonomy
         model = mesh.shape["model"]
         ref = pad_to_multiple(db.ref_major, model, axis=0)
@@ -84,6 +93,7 @@ class ShardedPipeline:
         )
         repl = NamedSharding(mesh, P())
         eval_ids = tax.eval_ids
+        ptr, ids, is_inner, pad_node = descent_arrays(tax)
         return cls(
             mesh=mesh,
             num_tips=db.num_tips,
@@ -91,6 +101,12 @@ class ShardedPipeline:
             ref_bits=ref_bits,
             node_starts=jax.device_put(tax.range_start[eval_ids], repl),
             node_ends=jax.device_put(tax.range_end[eval_ids], repl),
+            dsc_range_start=jax.device_put(tax.range_start, repl),
+            dsc_range_end=jax.device_put(tax.range_end, repl),
+            dsc_child_ptr=jax.device_put(ptr, repl),
+            dsc_child_ids=jax.device_put(ids, repl),
+            dsc_is_inner=jax.device_put(is_inner, repl),
+            pad_node=pad_node,
         )
 
     @property
@@ -124,18 +140,20 @@ class ShardedPipeline:
         )(query_bits, self.ref_bits, exact_ids)
 
     def counts_and_hist(self, query_bits: np.ndarray, exact_ids: np.ndarray, s_max: int):
-        """Returns (counts device handle, hist np [B, s_max] with pad rows
-        corrected out of bucket 0)."""
+        """Returns (counts device handle, hist device handle [B, s_max]).
+
+        Async: nothing is forced to host here, so the caller can overlap this
+        batch's device compute with another batch's host stages. Bucket 0 of
+        the histogram still includes the padded reference rows; the caller
+        subtracts `n_padded - num_tips` after pulling it.
+        """
         qb = jax.device_put(
             query_bits, NamedSharding(self.mesh, P("data", None))
         )
         ids = jax.device_put(
             exact_ids, NamedSharding(self.mesh, P("data", None))
         )
-        counts, hist = self._counts_hist(qb, ids, s_max)
-        hist = np.array(hist)  # writable copy
-        hist[:, 0] -= self.n_padded - self.num_tips  # padded refs count as 0
-        return counts, hist
+        return self._counts_hist(qb, ids, s_max)
 
     # -- stage 2: significance compaction ------------------------------
 
@@ -145,10 +163,7 @@ class ShardedPipeline:
         starts, ends = self.node_starts, self.node_ends
 
         def stage(counts_l, table_l):
-            probs = jnp.take_along_axis(
-                table_l, counts_l.astype(jnp.int32), axis=1
-            )
-            cum0 = jnp.pad(jnp.cumsum(probs, axis=1), ((0, 0), (1, 0)))
+            cum0 = tip_prob_cumsum(counts_l, table_l)  # [B_l, N_l+1]
             lo = jax.lax.axis_index("model") * n_local
             s = jnp.clip(starts - lo, 0, n_local)
             e = jnp.clip(ends - lo, 0, n_local)
@@ -158,7 +173,7 @@ class ShardedPipeline:
             masked = jnp.where(sig, conf, -1.0)
             k = min(top_k, conf.shape[1])
             vals, idx = jax.lax.top_k(masked, k)
-            return vals, idx.astype(jnp.int32), n_sig, conf
+            return vals, idx.astype(jnp.int32), n_sig, cum0
 
         return jax.shard_map(
             stage,
@@ -168,13 +183,66 @@ class ShardedPipeline:
                 P("data", None),
                 P("data", None),
                 P("data"),
-                P("data", None),
+                P("data", "model"),
             ),
         )(counts, table)
 
     def significant(self, counts, table: np.ndarray, top_k: int):
+        """Async: returns device handles (vals, idx, n_sig, cum0)."""
         tbl = jax.device_put(
             table, NamedSharding(self.mesh, P("data", None))
         )
-        vals, idx, n_sig, conf = self._significant(counts, tbl, top_k)
-        return np.asarray(vals), np.asarray(idx), np.asarray(n_sig), conf
+        return self._significant(counts, tbl, top_k)
+
+    # -- stage 3: fallback descents -------------------------------------
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _descend(self, cum0, b_arr, start_arr):
+        n_local = self.n_padded // self.mesh.shape["model"]
+        rs, re = self.dsc_range_start, self.dsc_range_end
+
+        def stage(cum0_l, b_arr, start_arr):
+            # Each data shard runs every descent redundantly (M is tiny):
+            # non-owned rows use a clamped local query index, producing a
+            # terminating-but-garbage walk whose result is masked out; the
+            # psum over 'data' then leaves exactly the owner's answer.
+            b_local = cum0_l.shape[0]
+            d = jax.lax.axis_index("data")
+            local_b = b_arr - d * b_local
+            owned = (local_b >= 0) & (local_b < b_local)
+            lb = jnp.clip(local_b, 0, b_local - 1)
+            lo = jax.lax.axis_index("model") * n_local
+            s = jnp.clip(rs - lo, 0, n_local)
+            e = jnp.clip(re - lo, 0, n_local)
+            finals = max_descent(
+                cum0_l,
+                lb,
+                start_arr,
+                s,
+                e,
+                self.dsc_child_ptr,
+                self.dsc_child_ids,
+                self.dsc_is_inner,
+                psum_axis="model",
+                vary_axes=("data",),
+            )
+            return jax.lax.psum(jnp.where(owned, finals, 0), "data")
+
+        return jax.shard_map(
+            stage,
+            mesh=self.mesh,
+            in_specs=(P("data", "model"), P(), P()),
+            out_specs=P(),
+        )(cum0, b_arr, start_arr)
+
+    def descend(
+        self, cum0, b_arr: np.ndarray, start_arr: np.ndarray
+    ) -> np.ndarray:
+        repl = NamedSharding(self.mesh, P())
+        return np.asarray(
+            self._descend(
+                cum0,
+                jax.device_put(b_arr, repl),
+                jax.device_put(start_arr, repl),
+            )
+        )

