@@ -100,12 +100,16 @@ def get_database(lineages, seqs):
 
 def measure_tpu(db, queries) -> float:
     from raxtax_tpu.engine.device import DeviceClassifier
+    from raxtax_tpu.utils.jaxcfg import setup_jax
 
+    setup_jax()
     clf = DeviceClassifier.create(db, backend=BACKEND, batch_size=BATCH)
     log(f"backend={clf.backend} batch={clf.batch_size}")
     t0 = time.time()
+    clf._fb_dense = True  # compile the compressed-prefetch path too
     clf.classify_batch(queries[: clf.batch_size])
-    log(f"warmup (compile) batch: {time.time() - t0:.1f}s")
+    clf.classify_batch(queries[: clf.batch_size])
+    log(f"warmup (compile) batches: {time.time() - t0:.1f}s")
     done = 0
     t0 = time.time()
     # two-deep three-phase pipeline, mirroring engine/classify.py

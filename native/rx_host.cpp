@@ -1,0 +1,143 @@
+// Native host kernels for the raxtax-tpu data layer.
+//
+// TPU-native re-ownership of the reference's CPU-side hot paths
+// (reference: src/tree.rs:114-137 k-mer map build, src/utils.rs:27-40 k-mer
+// extraction): the inverted-index construction becomes a one-pass packed
+// bit-matrix build. Every sequence's distinct 8-mers are materialized in a
+// 65,536-bit stack bitmap (8 KiB), which doubles as that sequence's
+// ref-major presence row; the kmer-major matrix (postings bitvectors) is a
+// bit-transpose second pass. No sorting, no COO, no hashing.
+//
+// Plain C ABI, loaded via ctypes (no pybind11 in this environment).
+//
+// Encoding contract (matches raxtax_tpu/utils/encoding.py):
+//   4-bit one-hot IUPAC codes; A=1, C=2, G=4, T=8 map to 2-bit 0,1,2,3;
+//   any other code invalidates the 8-wide window. Packed 8-mer: first base
+//   is the high 2 bits (reference: src/utils.rs:33 `c << (14 - j*2)`).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+constexpr int K = 8;
+constexpr int NUM_KMERS = 1 << 16;
+constexpr int REF_WORDS = NUM_KMERS / 32;  // 2048
+
+// 4-bit one-hot -> 2-bit base code, 255 = ambiguous/invalid
+inline const uint8_t* two_bit_lut() {
+    static uint8_t lut[16];
+    static bool init = false;
+    if (!init) {
+        memset(lut, 255, sizeof(lut));
+        lut[1] = 0;  // A
+        lut[2] = 1;  // C
+        lut[4] = 2;  // G
+        lut[8] = 3;  // T
+        init = true;
+    }
+    return lut;
+}
+
+// Set the distinct-8-mer presence bits of one sequence into an
+// already-zeroed 2048-word row. Returns nothing; callers can popcount.
+inline void fill_presence_row(const uint8_t* seq, int64_t n, uint32_t* row) {
+    if (n < K) return;
+    const uint8_t* lut = two_bit_lut();
+    uint32_t packed = 0;   // rolling 16-bit window
+    int valid = 0;         // consecutive valid bases seen
+    for (int64_t i = 0; i < n; ++i) {
+        uint8_t b = lut[seq[i] & 15];
+        if (b == 255) {
+            valid = 0;
+            continue;
+        }
+        packed = ((packed << 2) | b) & 0xFFFF;
+        if (++valid >= K) {
+            row[packed >> 5] |= (uint32_t(1) << (packed & 31));
+        }
+    }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Build the ref-major presence matrix [n_seqs, 2048] u32 (zeroed by caller)
+// and per-sequence distinct-kmer counts.
+void rx_build_ref_major(const uint8_t* flat, const int64_t* offsets,
+                        int64_t n_seqs, uint32_t* ref_major,
+                        int32_t* kmer_counts) {
+    for (int64_t s = 0; s < n_seqs; ++s) {
+        uint32_t* row = ref_major + s * REF_WORDS;
+        fill_presence_row(flat + offsets[s], offsets[s + 1] - offsets[s], row);
+        int32_t cnt = 0;
+        for (int w = 0; w < REF_WORDS; ++w) cnt += __builtin_popcount(row[w]);
+        kmer_counts[s] = cnt;
+    }
+}
+
+// Bit-transpose: kmer-major postings matrix [NUM_KMERS + 1, nw] u32 (zeroed
+// by caller; row 65536 stays zero as the padding row) from the ref-major
+// matrix. Bit n of row k = reference n contains kmer k.
+void rx_build_kmer_major(const uint32_t* ref_major, int64_t n_seqs,
+                         uint32_t* kmer_major, int64_t nw) {
+    for (int64_t s = 0; s < n_seqs; ++s) {
+        const uint32_t* row = ref_major + s * REF_WORDS;
+        uint32_t* col_word = kmer_major + (s >> 5);
+        const uint32_t bit = uint32_t(1) << (s & 31);
+        for (int w = 0; w < REF_WORDS; ++w) {
+            uint32_t v = row[w];
+            while (v) {
+                int b = __builtin_ctz(v);
+                v &= v - 1;
+                col_word[int64_t(w * 32 + b) * nw] |= bit;
+            }
+        }
+    }
+}
+
+// Sorted distinct 8-mers of one sequence (bitmap scan => sorted for free).
+// `out` must hold up to 65,536 entries; returns the count.
+int64_t rx_distinct_kmers(const uint8_t* seq, int64_t n, uint16_t* out) {
+    uint32_t row[REF_WORDS];
+    memset(row, 0, sizeof(row));
+    fill_presence_row(seq, n, row);
+    int64_t m = 0;
+    for (int w = 0; w < REF_WORDS; ++w) {
+        uint32_t v = row[w];
+        while (v) {
+            int b = __builtin_ctz(v);
+            v &= v - 1;
+            out[m++] = uint16_t(w * 32 + b);
+        }
+    }
+    return m;
+}
+
+// Batch variant: flat/offsets in, per-sequence sorted distinct kmers packed
+// into `out` with `out_offsets` (caller sizes `out` at total windows bound
+// or 65,536 per sequence; we write cumulative offsets).
+void rx_distinct_kmers_batch(const uint8_t* flat, const int64_t* offsets,
+                             int64_t n_seqs, uint16_t* out,
+                             int64_t* out_offsets) {
+    int64_t pos = 0;
+    out_offsets[0] = 0;
+    for (int64_t s = 0; s < n_seqs; ++s) {
+        pos += rx_distinct_kmers(flat + offsets[s],
+                                 offsets[s + 1] - offsets[s], out + pos);
+        out_offsets[s + 1] = pos;
+    }
+}
+
+// Query presence rows: [n_seqs, 2048] u32 (zeroed by caller), one row per
+// query sequence — the host side of pack_query_kmers.
+void rx_pack_query_rows(const uint8_t* flat, const int64_t* offsets,
+                        int64_t n_seqs, uint32_t* rows) {
+    for (int64_t s = 0; s < n_seqs; ++s) {
+        fill_presence_row(flat + offsets[s], offsets[s + 1] - offsets[s],
+                          rows + s * REF_WORDS);
+    }
+}
+
+}  // extern "C"

@@ -74,11 +74,19 @@ def build_database(
     seq_flat = (
         np.concatenate(sorted_seqs) if num else np.empty(0, np.uint8)
     ).astype(np.uint8)
-    ref_ids, kmers = bitmatrix.distinct_kmers_per_ref(sorted_seqs)
+    from .. import native
+
+    mats = native.build_bit_matrices(sorted_seqs)
+    if mats is not None:
+        ref_major, kmer_major = mats
+    else:
+        ref_ids, kmers = bitmatrix.distinct_kmers_per_ref(sorted_seqs)
+        ref_major = bitmatrix.build_ref_major(ref_ids, kmers, num)
+        kmer_major = bitmatrix.build_kmer_major(ref_ids, kmers, num)
     return Database(
         taxonomy=taxonomy,
-        ref_major=bitmatrix.build_ref_major(ref_ids, kmers, num),
-        kmer_major=bitmatrix.build_kmer_major(ref_ids, kmers, num),
+        ref_major=ref_major,
+        kmer_major=kmer_major,
         seq_flat=seq_flat,
         seq_offsets=seq_offsets,
         exact_map=_build_exact_map(seq_flat, seq_offsets, num),

@@ -30,6 +30,9 @@ def make_classifier(db: Database, args):
             skip_exact_matches=args.skip_exact_matches,
             raw_confidence=args.raw_confidence,
         )
+    from ..utils.jaxcfg import setup_jax
+
+    setup_jax()
     import jax
 
     from .device import DeviceClassifier  # deferred: imports jax

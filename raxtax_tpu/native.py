@@ -1,0 +1,139 @@
+"""ctypes loader for the native host kernels (native/rx_host.cpp).
+
+Auto-builds the shared library with g++ on first use (cached by source
+mtime); every entry point has a pure-numpy fallback, so the package works —
+just slower — without a compiler. pybind11 is unavailable in this
+environment, hence the plain C ABI + ctypes.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+log = logging.getLogger("raxtax")
+
+_SRC = Path(__file__).resolve().parent.parent / "native" / "rx_host.cpp"
+_LIB_DIR = Path(
+    os.environ.get("RAXTAX_NATIVE_DIR", os.path.expanduser("~/.cache/raxtax-native"))
+)
+_lib = None
+_tried = False
+
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+_u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+_u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+
+
+def _build() -> Path | None:
+    if not _SRC.is_file():
+        return None
+    _LIB_DIR.mkdir(parents=True, exist_ok=True)
+    lib = _LIB_DIR / f"rx_host_{int(_SRC.stat().st_mtime)}.so"
+    if lib.is_file():
+        return lib
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        "-o", str(lib), str(_SRC),
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    except Exception as e:  # missing compiler, etc.
+        log.info("native build failed (%s); using numpy fallbacks", e)
+        return None
+    return lib
+
+
+def get_lib():
+    """The loaded native library, or None (numpy fallbacks apply)."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("RAXTAX_NO_NATIVE"):
+        return None
+    path = _build()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(str(path))
+        lib.rx_build_ref_major.argtypes = [_u8p, _i64p, ctypes.c_int64, _u32p, _i32p]
+        lib.rx_build_kmer_major.argtypes = [_u32p, ctypes.c_int64, _u32p, ctypes.c_int64]
+        lib.rx_distinct_kmers.restype = ctypes.c_int64
+        lib.rx_distinct_kmers.argtypes = [_u8p, ctypes.c_int64, _u16p]
+        lib.rx_distinct_kmers_batch.argtypes = [_u8p, _i64p, ctypes.c_int64, _u16p, _i64p]
+        lib.rx_pack_query_rows.argtypes = [_u8p, _i64p, ctypes.c_int64, _u32p]
+        _lib = lib
+        log.info("native host kernels loaded: %s", path)
+    except OSError as e:
+        log.info("native load failed (%s); using numpy fallbacks", e)
+    return _lib
+
+
+# ---------------------------------------------------------------- wrappers
+
+REF_WORDS = 2048
+NUM_KMERS = 1 << 16
+
+
+def _flatten(seqs: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    offsets = np.zeros(len(seqs) + 1, dtype=np.int64)
+    offsets[1:] = np.cumsum([s.shape[0] for s in seqs])
+    flat = (
+        np.concatenate(seqs).astype(np.uint8)
+        if seqs
+        else np.empty(0, np.uint8)
+    )
+    return np.ascontiguousarray(flat), offsets
+
+
+def build_bit_matrices(
+    seqs: list[np.ndarray],
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """(ref_major [n,2048] u32, kmer_major [65537, ceil(n/32)] u32) via the
+    native one-pass builder, or None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(seqs)
+    flat, offsets = _flatten(seqs)
+    ref_major = np.zeros((max(n, 1), REF_WORDS), dtype=np.uint32)
+    counts = np.zeros(max(n, 1), dtype=np.int32)
+    if n:
+        lib.rx_build_ref_major(flat, offsets, n, ref_major, counts)
+    nw = max(1, -(-n // 32))
+    kmer_major = np.zeros((NUM_KMERS + 1, nw), dtype=np.uint32)
+    if n:
+        lib.rx_build_kmer_major(ref_major, n, kmer_major, nw)
+    return ref_major[:n] if n else ref_major[:0], kmer_major
+
+
+def distinct_kmers(seq: np.ndarray) -> np.ndarray | None:
+    """Sorted distinct 8-mers of one 4-bit sequence, or None w/o the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(NUM_KMERS, dtype=np.uint16)
+    s = np.ascontiguousarray(seq, dtype=np.uint8)
+    m = lib.rx_distinct_kmers(s, s.shape[0], out)
+    return out[:m].copy()
+
+
+def pack_query_rows(seqs: list[np.ndarray]) -> np.ndarray | None:
+    """[len(seqs), 2048] u32 query presence rows, or None w/o the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(seqs)
+    rows = np.zeros((max(n, 1), REF_WORDS), dtype=np.uint32)
+    if n:
+        flat, offsets = _flatten(seqs)
+        lib.rx_pack_query_rows(flat, offsets, n, rows)
+    return rows[:n]

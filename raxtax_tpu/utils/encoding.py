@@ -115,6 +115,11 @@ def sequence_to_kmer_windows(codes: np.ndarray) -> np.ndarray:
 
 def sequence_to_kmers(codes: np.ndarray) -> np.ndarray:
     """Sorted distinct packed 8-mers of a sequence (reference: src/utils.rs:27-40)."""
+    from .. import native
+
+    out = native.distinct_kmers(codes)
+    if out is not None:
+        return out
     return np.unique(sequence_to_kmer_windows(codes))
 
 
