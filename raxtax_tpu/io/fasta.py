@@ -90,6 +90,23 @@ def parse_reference_fasta_file(path: str | Path) -> ReferenceRecords:
     return parse_reference_fasta_str(read_text(path))
 
 
+def iter_fasta_records(path: str | Path):
+    """Raw (header, sequence-string) pairs, unencoded — harness/tooling use."""
+    lines = _clean_lines(read_text(path))
+    header = None
+    current: list[str] = []
+    for line in lines:
+        if line.startswith(">"):
+            if header is not None:
+                yield header, "".join(current)
+            header = line[1:]
+            current = []
+        else:
+            current.append(line)
+    if header is not None:
+        yield header, "".join(current)
+
+
 def parse_query_fasta_str(
     fasta_str: str, queries_to_skip: set[str] | None = None
 ) -> list[tuple[str, np.ndarray]]:

@@ -1,0 +1,87 @@
+"""Shared helpers for the benchmark harness.
+
+TPU-native port of the reference harness utilities (reference:
+scripts/common.py): sample a references/queries split from a FASTA, run a
+classifier command while polling peak host RSS at 10 Hz, and time it.
+Biopython is replaced by the package's own FASTA reader.
+"""
+
+from __future__ import annotations
+
+import random
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import psutil  # noqa: E402
+
+
+def read_fasta_records(path: str) -> list[tuple[str, str]]:
+    """(header, sequence) pairs; plain or gzipped FASTA."""
+    from raxtax_tpu.io.fasta import iter_fasta_records
+
+    return list(iter_fasta_records(path))
+
+
+def write_fasta(records: list[tuple[str, str]], path: str | Path) -> None:
+    with open(path, "w") as f:
+        for header, seq in records:
+            f.write(f">{header}\n{seq}\n")
+
+
+def sample_split(
+    records: list[tuple[str, str]],
+    n: int,
+    query_fraction: float = 0.1,
+    seed: int = 42,
+) -> tuple[list[tuple[str, str]], list[tuple[str, str]]]:
+    """Sample n records and split 90/10 into references/queries
+    (reference: scripts/common.py:11-25)."""
+    rng = random.Random(seed)
+    picked = rng.sample(records, min(n, len(records)))
+    n_queries = int(len(picked) * query_fraction)
+    return picked[n_queries:], picked[:n_queries]
+
+
+def run_with_memory_poll(
+    cmd: list[str], poll_hz: float = 10.0
+) -> tuple[float, float, int]:
+    """Run `cmd`; returns (runtime_s, peak_rss_mb, returncode)
+    (reference: scripts/common.py:43-65)."""
+    import os
+
+    env = dict(os.environ)
+    repo = str(Path(__file__).resolve().parent.parent)
+    env["PYTHONPATH"] = repo + (
+        ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
+    t0 = time.time()
+    proc = subprocess.Popen(cmd, env=env)
+    ps = psutil.Process(proc.pid)
+    peak = 0
+    while proc.poll() is None:
+        try:
+            rss = ps.memory_info().rss
+            for child in ps.children(recursive=True):
+                rss += child.memory_info().rss
+            peak = max(peak, rss)
+        except psutil.NoSuchProcess:
+            break
+        time.sleep(1.0 / poll_hz)
+    return time.time() - t0, peak / 1e6, proc.returncode
+
+
+def raxtax_tpu_cmd(
+    db: str | Path,
+    queries: str | Path,
+    out_prefix: str | Path,
+    extra: list[str] | None = None,
+) -> list[str]:
+    return [
+        sys.executable, "-m", "raxtax_tpu.cli",
+        "-d", str(db), "-i", str(queries), "-o", str(out_prefix),
+        "--redo",
+    ] + (extra or [])

@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""DB-size sweep: runtime + peak host RSS per database size.
+
+TPU-native port of the reference sweep (reference:
+scripts/runtime_memory.py): sample N records from an input FASTA, split
+90/10 into references/queries, run the classifier end-to-end (DB build +
+classification), record wall time and peak RSS, 3 repetitions per size.
+
+Usage:
+    python scripts/runtime_memory.py INPUT_FASTA [--sizes 50000 100000 ...]
+        [--reps 3] [--out results.csv] [--backend auto]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import sys
+import tempfile
+from pathlib import Path
+
+from common import (
+    raxtax_tpu_cmd,
+    read_fasta_records,
+    run_with_memory_poll,
+    sample_split,
+    write_fasta,
+)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("input_fasta")
+    ap.add_argument(
+        "--sizes", type=int, nargs="+",
+        default=[50_000, 100_000, 200_000, 500_000, 1_000_000],
+    )
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--out", default="runtime_memory.csv")
+    ap.add_argument("--backend", default="auto")
+    args = ap.parse_args()
+
+    records = read_fasta_records(args.input_fasta)
+    rows = []
+    for size in args.sizes:
+        if size > len(records):
+            print(f"skip size {size}: only {len(records)} records")
+            continue
+        for rep in range(args.reps):
+            refs, queries = sample_split(records, size, seed=42 + rep)
+            with tempfile.TemporaryDirectory() as td:
+                ref_f = Path(td) / "refs.fasta"
+                qry_f = Path(td) / "queries.fasta"
+                write_fasta(refs, ref_f)
+                write_fasta(queries, qry_f)
+                cmd = raxtax_tpu_cmd(
+                    ref_f, qry_f, Path(td) / "out",
+                    extra=["--backend", args.backend],
+                )
+                runtime, peak_mb, rc = run_with_memory_poll(cmd)
+            rows.append(
+                {
+                    "tool": "raxtax-tpu",
+                    "size": size,
+                    "rep": rep,
+                    "runtime_s": round(runtime, 3),
+                    "peak_rss_mb": round(peak_mb, 1),
+                    "returncode": rc,
+                    "queries": len(queries),
+                    "qps": round(len(queries) / runtime, 2),
+                }
+            )
+            print(rows[-1])
+    with open(args.out, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
