@@ -98,6 +98,25 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="Device mesh as 'data,model' sizes, e.g. '2,4' (default: all "
         "devices on the model axis)",
     )
+    p.add_argument(
+        "--descent", choices=["exact", "device"], default="exact",
+        help="Fallback-descent mode: exact (host f64, bit-faithful to the "
+        "reference) or device (on-chip f32, faster on fallback-dense "
+        "workloads; exact ties can resolve differently)",
+    )
+    p.add_argument(
+        "--trace", type=Path, default=None, metavar="DIR",
+        help="Write a jax.profiler trace of the classification phase to DIR "
+        "(view with TensorBoard / Perfetto)",
+    )
+    # --- multi-host (jax.distributed) ---
+    p.add_argument(
+        "--coordinator", type=str, default="",
+        help="jax.distributed coordinator address host:port (multi-host runs;"
+        " also honors JAX_COORDINATOR_ADDRESS)",
+    )
+    p.add_argument("--num-processes", type=int, default=0)
+    p.add_argument("--process-id", type=int, default=-1)
     return p
 
 
@@ -113,6 +132,21 @@ def main(argv: list[str] | None = None) -> int:
 
     from .io.buildinfo import write_build_info
     from .io.outputs import OutputError, ResultWriter, get_output
+
+    # multi-host: initialize before any JAX backend use; per-host shards
+    proc_idx, proc_count = 0, 1
+    if args.coordinator or args.num_processes or args.backend != "oracle":
+        import os as _os
+
+        if args.coordinator or _os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            from .parallel.multihost import maybe_initialize
+
+            proc_idx, proc_count = maybe_initialize(
+                args.coordinator, args.num_processes, args.process_id
+            )
+    from .parallel.multihost import shard_suffix
+
+    args._shard_suffix = shard_suffix(proc_idx, proc_count)
 
     try:
         writers, checkpoint = get_output(args)
@@ -185,9 +219,21 @@ def main(argv: list[str] | None = None) -> int:
 
         from .engine.classify import run_queries
 
+        if proc_count > 1:
+            from .parallel.multihost import host_query_slice
+
+            lo, hi = host_query_slice(len(queries), proc_idx, proc_count)
+            queries = queries[lo:hi]
+
         writer = ResultWriter(writers)
         try:
-            run_queries(db, queries, args, writer)
+            if args.trace is not None:
+                import jax
+
+                with jax.profiler.trace(str(args.trace)):
+                    run_queries(db, queries, args, writer)
+            else:
+                run_queries(db, queries, args, writer)
         except Exception as e:
             writer.join()
             report_error(
@@ -202,6 +248,21 @@ def main(argv: list[str] | None = None) -> int:
                 "IO-thread could not be joined. Check if results are complete!", e
             )
             return errors.IOERR
+
+        if proc_count > 1:
+            # all hosts flush their shards, then host 0 merges them into the
+            # reference's single-file artifacts
+            from jax.experimental import multihost_utils
+
+            from .parallel.multihost import merge_output_shards
+
+            multihost_utils.sync_global_devices("raxtax-output-shards")
+            if proc_idx == 0:
+                merge_output_shards(Path(args.prefix), "raxtax.out", proc_count)
+                if args.tsv:
+                    merge_output_shards(
+                        Path(args.prefix), "raxtax.tsv", proc_count
+                    )
 
         if args.clean:
             with phase_timer("Checkpoint Cleanup"):

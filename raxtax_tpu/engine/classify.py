@@ -51,6 +51,7 @@ def make_classifier(db: Database, args):
         backend=backend,
         batch_size=getattr(args, "batch_size", 0) or None,
         mesh=mesh,
+        descent=getattr(args, "descent", "exact"),
     )
 
 

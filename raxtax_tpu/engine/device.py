@@ -37,7 +37,7 @@ from ..utils.encoding import round_half_away, sequence_to_kmers
 
 log = logging.getLogger("raxtax")
 
-TOP_K = 1024
+TOP_K = 128  #: initial significance-compaction width; widened adaptively
 
 
 def _round_up(x: int, m: int) -> int:
@@ -145,12 +145,20 @@ class DeviceClassifier:
             backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
         tax = db.taxonomy
         eval_ids = tax.eval_ids
+        if not batch_size:
+            # HBM-aware batch auto-sizing: the pipeline keeps ~8 [B, N]-class
+            # f32/i32 buffers live (counts, cum0, prob gather, eval-node conf,
+            # compression temporaries), so bound their footprint to ~3 GiB
+            # and leave the rest for the resident bit matrix.
+            per_query = (db.num_tips + tax.eval_ids.shape[0]) * 4 * 6
+            batch_size = max(32, min(256, (3 << 30) // max(per_query, 1)))
+            batch_size = 1 << (batch_size.bit_length() - 1)  # floor pow2
         self = cls(
             db=db,
             skip_exact_matches=skip_exact_matches,
             raw_confidence=raw_confidence,
             backend=backend,
-            batch_size=batch_size or 256,
+            batch_size=batch_size,
             descent=descent,
         )
         if mesh is not None:
@@ -282,10 +290,23 @@ class DeviceClassifier:
         by_b: dict[int, list[int]] = {}
         for b, pos in sites:
             by_b.setdefault(b, []).append(pos)
+        # vectorized across fallback queries: one padded f64 table matrix,
+        # one batched gather, one batched cumsum (numpy cumsum is sequential
+        # per row — the same left-to-right f64 rounding as the reference's
+        # prefix scan, src/lineage.rs:62-67)
+        t_max = max(tables64[b].shape[0] for b in fb_queries)
+        tmat = np.zeros((len(fb_queries), t_max), dtype=np.float64)
+        for i, b in enumerate(fb_queries):
+            t = tables64[b]
+            tmat[i, : t.shape[0]] = t
+        tipp = np.take_along_axis(tmat, rows.astype(np.int64), axis=1)
+        cums = np.cumsum(tipp, axis=1)
+        cums = np.concatenate(
+            (np.zeros((len(fb_queries), 1)), cums), axis=1
+        )
         rs, re = tax.range_start, tax.range_end
-        for row, b in zip(rows, fb_queries):
-            tipp = tables64[b][row]
-            cum = np.concatenate(([0.0], np.cumsum(tipp)))
+        for i, b in enumerate(fb_queries):
+            cum = cums[i]
             for pos in by_b[b]:
                 cur = int(eval_ids[pos])
                 while tax.node_type[cur] == NODE_INNER:
@@ -410,32 +431,54 @@ class DeviceClassifier:
             h.copy_to_host_async()
         return (
             labels, seqs, exact, n_real, counts, cum0,
-            tables64, global_signals, vals, idx, n_sig, rows_pre,
+            tables64, global_signals, vals, idx, n_sig, rows_pre, table,
         )
 
     def finalize_batch(self, state) -> list[QueryResult]:
+        import jax.numpy as jnp
+
+        from ..ops.nodeconf import significant_nodes
+
         if len(state) == 8:  # phase-A state: run phase B inline
             state = self.prepare_batch(state)
         (
             labels, seqs, exact, n_real, counts, cum0,
-            tables64, global_signals, vals, idx, n_sig, rows_pre,
+            tables64, global_signals, vals, idx, n_sig, rows_pre, table,
         ) = state
         tax = self.db.taxonomy
         vals = np.asarray(vals)
         idx = np.asarray(idx)
         n_sig = np.asarray(n_sig)
+        max_sig = int(n_sig[:n_real].max()) if n_real else 0
+        while max_sig > vals.shape[1]:
+            # adaptive widening: the initial compaction width was too small
+            # for this batch's diffuse match profiles; re-run at the next
+            # power of two (compiles once per width, cached)
+            k = 1 << (max_sig - 1).bit_length()
+            log.debug("significance overflow: widening top-k to %d", k)
+            if self.pipeline is not None:
+                vals, idx, n_sig, cum0 = self.pipeline.significant(
+                    counts, table, k
+                )
+            else:
+                vals, idx, n_sig, cum0 = significant_nodes(
+                    counts,
+                    jnp.asarray(table),
+                    self.node_starts,
+                    self.node_ends,
+                    top_k=k,
+                )
+            vals = np.asarray(vals)
+            idx = np.asarray(idx)
+            n_sig = np.asarray(n_sig)
+            max_sig = int(n_sig[:n_real].max())
 
         # collect fallback descent sites across the batch
         eval_ids = tax.eval_ids
         sig_sets: list[dict[int, float]] = []
         sites: list[tuple[int, int]] = []  # (query, eval_pos)
-        overflow: list[int] = []
         for b in range(n_real):
             m = int(n_sig[b])
-            if m > vals.shape[1]:
-                overflow.append(b)
-                sig_sets.append({})
-                continue
             sig = {
                 int(eval_ids[idx[b, j]]): float(vals[b, j]) for j in range(m)
             }
@@ -464,15 +507,6 @@ class DeviceClassifier:
 
         out: list[QueryResult] = []
         for b in range(n_real):
-            if b in overflow:
-                # significant set exceeded the compaction budget (extremely
-                # diffuse match profile): exact host fallback
-                log.debug(
-                    "query %s: significant-set overflow, host fallback",
-                    labels[b],
-                )
-                out.append(self._oracle.classify(labels[b], seqs[b]))
-                continue
             results = evaluate_significant(
                 tax,
                 labels[b],

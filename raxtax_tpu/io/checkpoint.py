@@ -60,10 +60,12 @@ class Checkpoint:
     processed_queries: set[str] = field(default_factory=set)
 
     @classmethod
-    def new(cls, ckp_path: Path, args) -> "Checkpoint":
+    def new(cls, ckp_path: Path, args, progress_path: Path | None = None) -> "Checkpoint":
+        if progress_path is None:
+            progress_path = ckp_path.with_suffix(".ckp")
         return cls(
             checkpoint_file=str(ckp_path.absolute()),
-            progress_file=str(ckp_path.with_suffix(".ckp").absolute()),
+            progress_file=str(Path(progress_path).absolute()),
             db_fingerprint=FileFingerprint.of(args.database_path),
             raw_confidence=args.raw_confidence,
             skip_exact_matches=args.skip_exact_matches,

@@ -47,9 +47,12 @@ def get_output(args) -> tuple[OutputWriters, Checkpoint]:
     """Create/validate the output directory, writers and checkpoint
     (reference: src/io.rs:202-263)."""
     prefix = Path(args.prefix)
-    ckp_path = prefix / "raxtax.json"
-    out_path = prefix / "raxtax.out"
-    tsv_path = prefix / "raxtax.tsv"
+    # multi-host runs write per-host shards ('' for single-process runs;
+    # see parallel/multihost.py)
+    shard = getattr(args, "_shard_suffix", "")
+    ckp_path = prefix / f"raxtax.json{shard}"
+    out_path = prefix / f"raxtax.out{shard}"
+    tsv_path = prefix / f"raxtax.tsv{shard}"
 
     checkpoint = None
     resuming = False
@@ -74,14 +77,16 @@ def get_output(args) -> tuple[OutputWriters, Checkpoint]:
                 "existing files!"
             )
         prefix.mkdir(parents=True, exist_ok=True)
-        checkpoint = Checkpoint.new(ckp_path, args)
+        checkpoint = Checkpoint.new(
+            ckp_path, args, prefix / f"raxtax.ckp{shard}"
+        )
     prefix.mkdir(parents=True, exist_ok=True)
     append = not args.redo
     writers = OutputWriters(
         primary=_open(out_path, append),
         tsv=_open(tsv_path, append) if args.tsv else None,
-        log=_open(prefix / "raxtax.log", append),
-        progress=_open(prefix / "raxtax.ckp", append),
+        log=_open(prefix / f"raxtax.log{shard}", append),
+        progress=_open(prefix / f"raxtax.ckp{shard}", append),
     )
     if resuming:
         msg = f"Restarting from checkpoint {checkpoint.checkpoint_file}"

@@ -151,20 +151,26 @@ def _planes_to_counts(planes: jax.Array, num_tips: int):
 
 
 def prepare_kmer_major(db) -> jax.Array:
-    """Device copy of the kmer-major matrix, lane-padded and tiled to
-    [65537, Nw/128, 128] (aligned (sublane, lane) tiles)."""
+    """Device copy of the kmer-major matrix, lane-padded to [65537, Nw']
+    with Nw' a multiple of 128.
+
+    Kept 2-D in its natural layout: gathering from a 3-D reshaped view makes
+    XLA materialize a full layout copy of the (multi-GB) matrix inside the
+    gather program — OOM at the 1M-reference scale. The gathered rows (small)
+    are reshaped to (sublane, lane) tiles instead."""
     km = db.kmer_major
     pad = (-km.shape[1]) % LANE
     if pad:
         km = np.pad(km, ((0, 0), (0, pad)))
-    return jnp.asarray(km.reshape(km.shape[0], -1, LANE))
+    return jnp.asarray(km)
 
 
 @functools.partial(
     jax.jit, static_argnames=("num_tips", "n_high", "interpret")
 )
 def _counts_once(kmer_idx, kmer_major, num_tips, n_high, interpret):
-    rows = kmer_major[kmer_idx.reshape(-1)]  # XLA gather, [B*K_pad, S, 128]
+    rows = kmer_major[kmer_idx.reshape(-1)]  # XLA gather, [B*K_pad, Nw']
+    rows = rows.reshape(rows.shape[0], -1, LANE)  # tile the gathered rows
     planes = _hs_planes(
         rows, batch=kmer_idx.shape[0], n_high=n_high, interpret=interpret
     )
