@@ -30,14 +30,81 @@ import jax.numpy as jnp
 SIG_THRESHOLD = 0.005 - 1e-4
 
 
+GATHER_CHUNK = 16384  #: tip columns per one-hot matmul step
+
+
+def gather_table(counts: jax.Array, table: jax.Array) -> jax.Array:
+    """probs[b, n] = table[b, counts[b, n]], exactly, on the MXU.
+
+    A batched `take_along_axis` lowers to a generic gather that runs at
+    ~300 MB/s on TPU; a one-hot contraction at `Precision.HIGHEST` (XLA's
+    exact bf16x3 f32 emulation) is bit-exact — each output row of the one-hot
+    product selects a single f32 — and ~8x faster. Chunked over tips via
+    `lax.scan` so the one-hot never exceeds [B, CHUNK, S] in HBM.
+    """
+    B, N = counts.shape
+    c = counts.astype(jnp.int32)
+    pad = (-N) % GATHER_CHUNK
+    if pad:
+        c = jnp.pad(c, ((0, 0), (0, pad)))
+    n_chunks = c.shape[1] // GATHER_CHUNK
+    s_iota = jnp.arange(table.shape[1], dtype=jnp.int32)
+
+    def step(carry, cchunk):  # cchunk: [B, CHUNK]
+        oh = (cchunk[:, :, None] == s_iota[None, None, :]).astype(jnp.float32)
+        p = jax.lax.dot_general(
+            oh,
+            table,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return carry, p
+
+    cs = c.reshape(B, n_chunks, GATHER_CHUNK).transpose(1, 0, 2)
+    _, ps = jax.lax.scan(step, 0, cs)
+    return ps.transpose(1, 0, 2).reshape(B, -1)[:, :N]
+
+
 def tip_prob_cumsum(counts: jax.Array, table: jax.Array) -> jax.Array:
     """[B, N+1] f32 zero-prefixed cumsum of per-tip probabilities.
 
     probs[b, n] = table[b, counts[b, n]] — the per-size probability of the
     intersection count of reference n (reference: src/lineage.rs:62-67).
     """
-    probs = jnp.take_along_axis(table, counts.astype(jnp.int32), axis=1)
+    probs = gather_table(counts, table)
     return jnp.pad(jnp.cumsum(probs, axis=1), ((0, 0), (1, 0)))
+
+
+def compact_threshold(conf: jax.Array, threshold: float, k: int):
+    """Sort-free threshold compaction: (vals [B,k], idx [B,k], n_sig [B]).
+
+    `lax.top_k` lowers to a full sort on TPU — minutes of compile and O(J
+    log J) run time at J ~ 10^6. The significant set only needs *all*
+    entries above the threshold in any order, which a cumsum-rank scatter
+    delivers in O(J): entry j with mask rank r < k lands in slot r. Entries
+    beyond `n_sig > k` are dropped (callers re-run with a wider k).
+    Padding slots hold idx -1 / val 0.
+    """
+    B, J = conf.shape
+    mask = conf >= threshold
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
+    ok = mask & (rank < k)
+    slot = jnp.where(ok, rank, k)
+    rowid = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, J))
+    nidx = jnp.broadcast_to(jnp.arange(J, dtype=jnp.int32)[None, :], (B, J))
+    idx = (
+        jnp.full((B, k + 1), -1, jnp.int32)
+        .at[rowid, slot]
+        .set(nidx, mode="drop")
+    )
+    vals = (
+        jnp.zeros((B, k + 1), jnp.float32)
+        .at[rowid, slot]
+        .set(conf, mode="drop")
+    )
+    n_sig = mask.sum(axis=1).astype(jnp.int32)
+    return vals[:, :k], idx[:, :k], n_sig
 
 
 @partial(jax.jit, static_argnames=("top_k",))
@@ -57,12 +124,25 @@ def significant_nodes(
     """
     cum0 = tip_prob_cumsum(counts, table)
     conf = cum0[:, node_ends] - cum0[:, node_starts]  # [B, J]
-    sig = conf >= SIG_THRESHOLD
-    n_sig = sig.sum(axis=1).astype(jnp.int32)
-    masked = jnp.where(sig, conf, -1.0)
     k = min(top_k, conf.shape[1])
-    vals, idx = jax.lax.top_k(masked, k)
-    return vals, idx.astype(jnp.int32), n_sig, cum0
+    vals, idx, n_sig = threshold_set(conf, SIG_THRESHOLD, k)
+    return vals, idx, n_sig, cum0
+
+
+#: above this eval-node count, `lax.top_k` (a full sort on TPU) becomes
+#: intractable to compile/run; the O(J) scatter compaction takes over
+TOPK_MAX_J = 1 << 17
+
+
+def threshold_set(conf: jax.Array, threshold: float, k: int):
+    """All above-threshold (value, index) pairs, k-bounded: size-adaptive
+    between `lax.top_k` (faster at small J) and the scatter compaction."""
+    if conf.shape[1] <= TOPK_MAX_J:
+        masked = jnp.where(conf >= threshold, conf, -1.0)
+        vals, idx = jax.lax.top_k(masked, k)
+        n_sig = (conf >= threshold).sum(axis=1).astype(jnp.int32)
+        return vals, idx.astype(jnp.int32), n_sig
+    return compact_threshold(conf, threshold, k)
 
 
 @partial(jax.jit, static_argnames=("chunk", "psum_axis", "vary_axes"))

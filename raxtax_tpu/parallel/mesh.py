@@ -27,7 +27,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.histogram import intersection_histogram
 from ..ops.intersect_xla import intersection_counts_xla
-from ..ops.nodeconf import SIG_THRESHOLD, max_descent, tip_prob_cumsum
+from ..ops.nodeconf import (
+    SIG_THRESHOLD,
+    max_descent,
+    threshold_set,
+    tip_prob_cumsum,
+)
 
 
 def make_mesh(spec: str = "", devices=None) -> Mesh:
@@ -168,12 +173,9 @@ class ShardedPipeline:
             s = jnp.clip(starts - lo, 0, n_local)
             e = jnp.clip(ends - lo, 0, n_local)
             conf = jax.lax.psum(cum0[:, e] - cum0[:, s], "model")
-            sig = conf >= SIG_THRESHOLD
-            n_sig = sig.sum(axis=1).astype(jnp.int32)
-            masked = jnp.where(sig, conf, -1.0)
             k = min(top_k, conf.shape[1])
-            vals, idx = jax.lax.top_k(masked, k)
-            return vals, idx.astype(jnp.int32), n_sig, cum0
+            vals, idx, n_sig = threshold_set(conf, SIG_THRESHOLD, k)
+            return vals, idx, n_sig, cum0
 
         return jax.shard_map(
             stage,
