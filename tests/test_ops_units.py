@@ -1,0 +1,69 @@
+"""Unit tests for device op building blocks: exact table gather, threshold
+compaction, and lossless count compression."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from raxtax_tpu.ops.compress import compress_counts, decompress_rows
+from raxtax_tpu.ops.nodeconf import compact_threshold, gather_table, threshold_set
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(9)
+
+
+def test_gather_table_exact(rng):
+    B, N, S = 8, 5000, 260
+    counts = rng.integers(0, S, size=(B, N)).astype(np.float32)
+    table = rng.random((B, S)).astype(np.float32)
+    got = np.asarray(gather_table(jnp.asarray(counts), jnp.asarray(table)))
+    want = np.take_along_axis(table, counts.astype(np.int64), axis=1)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_compact_threshold_complete(rng):
+    B, J, k = 4, 3000, 64
+    conf = (rng.random((B, J)) * 0.01).astype(np.float32)
+    vals, idx, n_sig = (
+        np.asarray(x)
+        for x in compact_threshold(jnp.asarray(conf), 0.0049, k)
+    )
+    for b in range(B):
+        want = {(j, conf[b, j]) for j in np.nonzero(conf[b] >= 0.0049)[0]}
+        assert n_sig[b] == len(want)
+        m = min(int(n_sig[b]), k)
+        got = {(int(idx[b, i]), vals[b, i]) for i in range(m)}
+        assert got <= want and len(got) == m
+
+
+def test_threshold_set_matches_topk_semantics(rng):
+    B, J, k = 4, 2000, 32
+    conf = (rng.random((B, J)) * 0.01).astype(np.float32)
+    vals, idx, n_sig = (
+        np.asarray(x) for x in threshold_set(jnp.asarray(conf), 0.0049, k)
+    )
+    for b in range(B):
+        sig_j = set(np.nonzero(conf[b] >= 0.0049)[0])
+        assert n_sig[b] == len(sig_j)
+        m = min(int(n_sig[b]), k)
+        assert {int(idx[b, i]) for i in range(m)} <= sig_j
+
+
+def test_compress_roundtrip(rng):
+    B, N, budget = 6, 4000, 16
+    counts = rng.poisson(2.0, size=(B, N)).astype(np.float32)
+    counts[0, rng.integers(0, N, 10)] = 300  # overflow entries
+    counts[1, rng.integers(0, N, budget + 5)] = 77  # over budget
+    parts = [
+        np.asarray(x)
+        for x in compress_counts(jnp.asarray(counts), budget=budget)
+    ]
+    rows, over = decompress_rows(*parts, rows=list(range(B)), num_tips=N, budget=budget)
+    assert over == [1]  # only the over-budget row is inexact
+    for b in range(B):
+        if b in over:
+            continue
+        np.testing.assert_array_equal(rows[b], counts[b].astype(np.uint16))

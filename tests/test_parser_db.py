@@ -132,3 +132,18 @@ def test_db_roundtrip(tmp_path):
     np.testing.assert_array_equal(db2.taxonomy.range_start, db.taxonomy.range_start)
     np.testing.assert_array_equal(db2.taxonomy.range_end, db.taxonomy.range_end)
     np.testing.assert_array_equal(db2.taxonomy.node_type, db.taxonomy.node_type)
+
+
+def test_gzip_reference_fasta(tmp_path):
+    """Gzipped FASTA input is read transparently (src/utils.rs:42-60)."""
+    import gzip
+
+    from raxtax_tpu.io.fasta import parse_reference_fasta_file
+
+    content = ">r1;tax=p:A,s:X;\nACGTACGTACGT\n>r2;tax=p:A,s:Y;\nTTTTACGTACGT\n"
+    p = tmp_path / "refs.fasta.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(content)
+    recs = parse_reference_fasta_file(p)
+    assert recs.lineages == ["p:A,s:X", "p:A,s:Y"]
+    assert len(recs.sequences) == 2
