@@ -46,8 +46,20 @@ def make_mesh(spec: str = "", devices=None) -> Mesh:
     n = len(devices)
     if spec:
         d, m = (int(x) for x in spec.split(","))
+        if d * m > n:
+            # some environments pin the default platform to a single real
+            # chip; honor an explicit larger mesh with the (virtual) CPU
+            # backend when it has enough devices
+            # (XLA_FLAGS=--xla_force_host_platform_device_count=N)
+            try:
+                cpu = jax.devices("cpu")
+            except RuntimeError:
+                cpu = []
+            if d * m <= len(cpu):
+                devices, n = cpu, len(cpu)
         if d * m != n:
             raise ValueError(f"mesh {d}x{m} != {n} available devices")
+        devices = devices[: d * m]
     else:
         d, m = 1, n
     dev_array = np.asarray(devices).reshape(d, m)
