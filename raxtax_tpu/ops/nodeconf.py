@@ -129,9 +129,12 @@ def significant_nodes(
     return vals, idx, n_sig, cum0
 
 
-#: above this eval-node count, `lax.top_k` (a full sort on TPU) becomes
-#: intractable to compile/run; the O(J) scatter compaction takes over
-TOPK_MAX_J = 1 << 17
+#: above this eval-node count, switch from `lax.top_k` to the O(J) scatter
+#: compaction. Measured on v5e: top_k runs 3-4x faster than the scatter up
+#: through J ~ 1.3M (0.15s vs 0.54s at B=32) with a few-second compile, so
+#: the cliff sits above any single-chip-resident database; the scatter path
+#: guards the extreme tail.
+TOPK_MAX_J = 1 << 21
 
 
 def threshold_set(conf: jax.Array, threshold: float, k: int):
