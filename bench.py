@@ -135,12 +135,15 @@ def measure_oracle(db, queries) -> float:
     from raxtax_tpu.models.oracle import OracleClassifier
 
     o = OracleClassifier(db)
-    t0 = time.time()
+    times = []
     for label, seq in queries[:ORACLE_QUERIES]:
+        t0 = time.time()
         o.classify(label, seq).out_string()
-    dt = time.time() - t0
-    log(f"oracle: {ORACLE_QUERIES} queries in {dt:.2f}s")
-    return ORACLE_QUERIES / dt
+        times.append(time.time() - t0)
+    times.sort()
+    med = times[len(times) // 2]
+    log(f"oracle: median {med * 1000:.0f}ms/query over {len(times)}")
+    return 1.0 / med
 
 
 def main() -> int:

@@ -140,4 +140,43 @@ void rx_pack_query_rows(const uint8_t* flat, const int64_t* offsets,
     }
 }
 
+// Sequential f64 tip-probability prefix sum from a compressed count row
+// (4-bit nibble plane + ascending (tip, count) overflow list): the exact
+// host replay of the reference's per-query prefix scan
+// (reference: src/lineage.rs:62-67) that the fallback descent compares
+// against. Fuses nibble decode + table gather + running sum in one pass —
+// the numpy equivalent materializes several N-sized intermediates and is
+// ~15x slower on a single-core host.
+//
+// `cum` has num_tips + 1 entries; cum[0] = 0. Left-to-right f64 additions,
+// identical rounding to the reference's sequential scan.
+void rx_tip_cumsum_nibble(const uint32_t* plane, const int32_t* over_idx,
+                          const uint16_t* over_val, int64_t n_over,
+                          const double* table, int64_t num_tips,
+                          double* cum) {
+    double acc = 0.0;
+    cum[0] = 0.0;
+    int64_t oi = 0;
+    for (int64_t i = 0; i < num_tips; ++i) {
+        uint32_t c = (plane[i >> 3] >> ((i & 7) * 4)) & 15u;
+        if (oi < n_over && over_idx[oi] == i) {
+            c = over_val[oi];
+            ++oi;
+        }
+        acc += table[c];
+        cum[i + 1] = acc;
+    }
+}
+
+// Same, from a raw u16 count row (over-budget fallback path).
+void rx_tip_cumsum_u16(const uint16_t* row, const double* table,
+                       int64_t num_tips, double* cum) {
+    double acc = 0.0;
+    cum[0] = 0.0;
+    for (int64_t i = 0; i < num_tips; ++i) {
+        acc += table[row[i]];
+        cum[i + 1] = acc;
+    }
+}
+
 }  // extern "C"

@@ -264,49 +264,62 @@ class DeviceClassifier:
                 fallback_map[(b, int(eval_ids[pos]))] = int(finals[i])
             return fallback_map
 
-        # exact mode: replay the reference's sequential f64 prefix sums on
-        # host over u16 count rows of just the affected queries, transferred
-        # in power-of-two buckets (one compiled gather per bucket size)
-        fb_queries = sorted({b for b, _ in sites})
-        if rows_pre is not None:
-            from ..ops.compress import decompress_rows
+        # exact mode: replay the reference's sequential f64 prefix sums
+        # (src/lineage.rs:62-67) on host for the affected queries. The
+        # native kernel fuses nibble decode + table gather + running f64 sum
+        # in one pass; numpy fallbacks materialize the same values. Either
+        # way the additions are left-to-right f64 — identical rounding to
+        # the reference's scan.
+        from .. import native
 
+        fb_queries = sorted({b for b, _ in sites})
+        num_tips = self.db.num_tips
+        cum_for: dict[int, np.ndarray] = {}
+        u16_needed: list[int] = []  # fb queries needing a raw u16 row
+
+        if rows_pre is not None:
             plane, over_idx, over_val, n_over = (
                 np.asarray(a) for a in rows_pre
             )
-            rows, over_budget = decompress_rows(
-                plane, over_idx, over_val, n_over,
-                fb_queries, self.db.num_tips,
-            )
-            if over_budget:  # rare: overflow list didn't fit the budget
-                exact_rows = gather_count_rows(
-                    counts, [fb_queries[i] for i in over_budget]
-                )[:, : self.db.num_tips]
-                rows[over_budget] = exact_rows
+            budget = over_idx.shape[1]
+            for b in fb_queries:
+                n = int(n_over[b])
+                if n > budget:  # rare: overflow list didn't fit
+                    u16_needed.append(b)
+                    continue
+                cum = native.tip_cumsum_nibble(
+                    plane[b], over_idx[b], over_val[b], n,
+                    tables64[b], num_tips,
+                )
+                if cum is None:  # no native lib: numpy decompress path
+                    from ..ops.compress import decompress_rows
+
+                    row, over = decompress_rows(
+                        plane, over_idx, over_val, n_over, [b], num_tips,
+                        budget=budget,
+                    )
+                    assert not over
+                    tipp = tables64[b][row[0]]
+                    cum = np.concatenate(([0.0], np.cumsum(tipp)))
+                cum_for[b] = cum
         else:
-            rows = gather_count_rows(counts, fb_queries)[
-                :, : self.db.num_tips
-            ]
+            u16_needed = fb_queries
+
+        if u16_needed:
+            rows = gather_count_rows(counts, u16_needed)[:, :num_tips]
+            for row, b in zip(rows, u16_needed):
+                cum = native.tip_cumsum_u16(row, tables64[b], num_tips)
+                if cum is None:
+                    tipp = tables64[b][row]
+                    cum = np.concatenate(([0.0], np.cumsum(tipp)))
+                cum_for[b] = cum
+
         by_b: dict[int, list[int]] = {}
         for b, pos in sites:
             by_b.setdefault(b, []).append(pos)
-        # vectorized across fallback queries: one padded f64 table matrix,
-        # one batched gather, one batched cumsum (numpy cumsum is sequential
-        # per row — the same left-to-right f64 rounding as the reference's
-        # prefix scan, src/lineage.rs:62-67)
-        t_max = max(tables64[b].shape[0] for b in fb_queries)
-        tmat = np.zeros((len(fb_queries), t_max), dtype=np.float64)
-        for i, b in enumerate(fb_queries):
-            t = tables64[b]
-            tmat[i, : t.shape[0]] = t
-        tipp = np.take_along_axis(tmat, rows.astype(np.int64), axis=1)
-        cums = np.cumsum(tipp, axis=1)
-        cums = np.concatenate(
-            (np.zeros((len(fb_queries), 1)), cums), axis=1
-        )
         rs, re = tax.range_start, tax.range_end
-        for i, b in enumerate(fb_queries):
-            cum = cums[i]
+        for b in fb_queries:
+            cum = cum_for[b]
             for pos in by_b[b]:
                 cur = int(eval_ids[pos])
                 while tax.node_type[cur] == NODE_INNER:

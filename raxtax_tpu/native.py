@@ -26,6 +26,7 @@ _lib = None
 _tried = False
 
 _i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 _u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
 _u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
@@ -70,6 +71,10 @@ def get_lib():
         lib.rx_distinct_kmers.argtypes = [_u8p, ctypes.c_int64, _u16p]
         lib.rx_distinct_kmers_batch.argtypes = [_u8p, _i64p, ctypes.c_int64, _u16p, _i64p]
         lib.rx_pack_query_rows.argtypes = [_u8p, _i64p, ctypes.c_int64, _u32p]
+        lib.rx_tip_cumsum_nibble.argtypes = [
+            _u32p, _i32p, _u16p, ctypes.c_int64, _f64p, ctypes.c_int64, _f64p,
+        ]
+        lib.rx_tip_cumsum_u16.argtypes = [_u16p, _f64p, ctypes.c_int64, _f64p]
         _lib = lib
         log.info("native host kernels loaded: %s", path)
     except OSError as e:
@@ -124,6 +129,47 @@ def distinct_kmers(seq: np.ndarray) -> np.ndarray | None:
     s = np.ascontiguousarray(seq, dtype=np.uint8)
     m = lib.rx_distinct_kmers(s, s.shape[0], out)
     return out[:m].copy()
+
+
+def tip_cumsum_nibble(
+    plane_row: np.ndarray,  # u32 nibble plane of one query
+    over_idx: np.ndarray,  # i32 ascending overflow tips
+    over_val: np.ndarray,  # u16 overflow counts
+    n_over: int,
+    table64: np.ndarray,  # f64 per-size probabilities
+    num_tips: int,
+) -> np.ndarray | None:
+    """cum[num_tips+1] f64 sequential prefix sum, or None w/o the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    cum = np.empty(num_tips + 1, dtype=np.float64)
+    lib.rx_tip_cumsum_nibble(
+        np.ascontiguousarray(plane_row, np.uint32),
+        np.ascontiguousarray(over_idx, np.int32),
+        np.ascontiguousarray(over_val, np.uint16),
+        n_over,
+        np.ascontiguousarray(table64, np.float64),
+        num_tips,
+        cum,
+    )
+    return cum
+
+
+def tip_cumsum_u16(
+    row: np.ndarray, table64: np.ndarray, num_tips: int
+) -> np.ndarray | None:
+    lib = get_lib()
+    if lib is None:
+        return None
+    cum = np.empty(num_tips + 1, dtype=np.float64)
+    lib.rx_tip_cumsum_u16(
+        np.ascontiguousarray(row[:num_tips], np.uint16),
+        np.ascontiguousarray(table64, np.float64),
+        num_tips,
+        cum,
+    )
+    return cum
 
 
 def pack_query_rows(seqs: list[np.ndarray]) -> np.ndarray | None:

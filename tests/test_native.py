@@ -64,3 +64,22 @@ def test_pack_query_rows_matches_numpy(lib, seqs):
     rows = native.pack_query_rows(seqs)
     kmer_sets = [_numpy_distinct(s) for s in seqs]
     np.testing.assert_array_equal(rows, bitmatrix.pack_query_kmers(kmer_sets))
+
+
+def test_tip_cumsum_matches_numpy(lib, seqs):
+    import jax.numpy as jnp
+
+    from raxtax_tpu.ops.compress import compress_counts
+
+    rng = np.random.default_rng(17)
+    N = 1000
+    counts = rng.poisson(2.0, size=(4, N)).astype(np.float32)
+    counts[2, rng.integers(0, N, 20)] = 120
+    table = rng.random(200)
+    plane, oi, ov, no = (np.asarray(x) for x in compress_counts(jnp.asarray(counts), budget=64))
+    for b in range(4):
+        cum = native.tip_cumsum_nibble(plane[b], oi[b], ov[b], int(no[b]), table, N)
+        want = np.concatenate(([0.0], np.cumsum(table[counts[b].astype(np.int64)])))
+        np.testing.assert_array_equal(cum, want)
+        cum16 = native.tip_cumsum_u16(counts[b].astype(np.uint16), table, N)
+        np.testing.assert_array_equal(cum16, want)
