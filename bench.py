@@ -112,18 +112,20 @@ def measure_tpu(db, queries) -> float:
     log(f"warmup (compile) batches: {time.time() - t0:.1f}s")
     done = 0
     t0 = time.time()
-    # two-deep three-phase pipeline, mirroring engine/classify.py
-    pending = None
+    # three-deep three-phase pipeline, mirroring engine/classify.py
+    from collections import deque
+
+    prepared = deque()
     for lo in range(0, len(queries), clf.batch_size):
         chunk = queries[lo : lo + clf.batch_size]
         a_state = clf.submit_batch(chunk)
-        if pending is not None:
-            for r in clf.finalize_batch(pending):
+        if len(prepared) >= 2:
+            for r in clf.finalize_batch(prepared.popleft()):
                 r.out_string()
                 done += 1
-        pending = clf.prepare_batch(a_state)
-    if pending is not None:
-        for r in clf.finalize_batch(pending):
+        prepared.append(clf.prepare_batch(a_state))
+    while prepared:
+        for r in clf.finalize_batch(prepared.popleft()):
             r.out_string()
             done += 1
     dt = time.time() - t0

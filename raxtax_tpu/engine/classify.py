@@ -84,21 +84,25 @@ def run_queries(
 
     with phase_timer("raxtax"):
         if hasattr(classifier, "submit_batch"):
-            # two-deep software pipeline, three phases per batch:
+            # three-deep software pipeline, three phases per batch:
             #   A submit   — host prep + counts/hist dispatch
-            #   B prepare  — hist pull, prob model, significance dispatch
+            #   B prepare  — hist pull, prob model, significance dispatch +
+            #                async host copies
             #   C finalize — pulls, descents, evaluation
-            # Loop order A(i+1), C(i), B(i+1) keeps batch i's pulls ahead of
-            # batch i+1's device dispatches in the device queue.
-            pending = None
+            # Batch k's results are consumed two iterations after its
+            # transfers start, so tunnel wire time hides behind a full
+            # iteration of host work and device compute.
+            from collections import deque
+
+            prepared: deque = deque()
             for start in range(0, len(queries), batch_size):
                 chunk = queries[start : start + batch_size]
                 a_state = classifier.submit_batch(chunk)
-                if pending is not None:
-                    emit(classifier.finalize_batch(pending))
-                pending = classifier.prepare_batch(a_state)
-            if pending is not None:
-                emit(classifier.finalize_batch(pending))
+                if len(prepared) >= 2:
+                    emit(classifier.finalize_batch(prepared.popleft()))
+                prepared.append(classifier.prepare_batch(a_state))
+            while prepared:
+                emit(classifier.finalize_batch(prepared.popleft()))
         else:
             for start in range(0, len(queries), batch_size):
                 chunk = queries[start : start + batch_size]
