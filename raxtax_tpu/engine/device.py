@@ -164,7 +164,9 @@ class DeviceClassifier:
         if mesh is not None:
             from ..parallel.mesh import ShardedPipeline
 
-            self.pipeline = ShardedPipeline.create(db, mesh)
+            self.pipeline = ShardedPipeline.create(
+                db, mesh, backend="pallas" if backend == "pallas" else "xla"
+            )
             # keep the batch divisible over the data axis
             d = mesh.shape["data"]
             self.batch_size = _round_up(self.batch_size, d)
@@ -184,11 +186,11 @@ class DeviceClassifier:
         self._oracle = OracleClassifier(
             db, skip_exact_matches=skip_exact_matches, raw_confidence=raw_confidence
         )
-        if backend == "pallas":
+        if mesh is None and backend == "pallas":
             from ..ops.intersect_pallas import prepare_kmer_major
 
             self.kmer_major = prepare_kmer_major(db)
-        elif backend == "stream":
+        elif mesh is None and backend == "stream":
             from ..ops.intersect_stream import prepare_kmer_major_stream
 
             self.kmer_major = prepare_kmer_major_stream(db)
@@ -377,7 +379,7 @@ class DeviceClassifier:
 
         if self.pipeline is not None:
             counts, hist_dev = self.pipeline.counts_and_hist(
-                query_bits, ids, s_max
+                query_bits, ids, s_max, kmer_idx=kmer_idx
             )
         else:
             counts = self._counts(

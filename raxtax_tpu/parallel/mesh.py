@@ -87,7 +87,9 @@ class ShardedPipeline:
     mesh: Mesh
     num_tips: int
     n_padded: int
-    ref_bits: jax.Array  #: [n_padded, 2048] u32, sharded over 'model'
+    backend: str  #: counts kernel: "xla" (bit-matmul) or "pallas" (gather+CSA)
+    ref_bits: jax.Array | None  #: [n_padded, 2048] u32, sharded over 'model'
+    kmer_bits: jax.Array | None  #: [65537, n_padded/32] u32, cols over 'model'
     node_starts: jax.Array  #: [J] i32, replicated
     node_ends: jax.Array  #: [J] i32, replicated
     # fallback-descent state (global node space, replicated)
@@ -99,23 +101,38 @@ class ShardedPipeline:
     pad_node: int
 
     @classmethod
-    def create(cls, db, mesh: Mesh) -> "ShardedPipeline":
+    def create(cls, db, mesh: Mesh, backend: str = "xla") -> "ShardedPipeline":
         from ..engine.device import descent_arrays
 
         tax = db.taxonomy
         model = mesh.shape["model"]
-        ref = pad_to_multiple(db.ref_major, model, axis=0)
-        ref_bits = jax.device_put(
-            ref, NamedSharding(mesh, P("model", None))
-        )
+        ref_bits = kmer_bits = None
+        if backend == "pallas":
+            from ..ops.intersect_pallas import LANE
+
+            # shard the kmer-major postings matrix by reference *words*:
+            # each model shard owns a LANE-aligned block of reference columns
+            km = pad_to_multiple(db.kmer_major, model * LANE, axis=1)
+            kmer_bits = jax.device_put(
+                km, NamedSharding(mesh, P(None, "model"))
+            )
+            n_padded = km.shape[1] * 32
+        else:
+            ref = pad_to_multiple(db.ref_major, model, axis=0)
+            ref_bits = jax.device_put(
+                ref, NamedSharding(mesh, P("model", None))
+            )
+            n_padded = ref.shape[0]
         repl = NamedSharding(mesh, P())
         eval_ids = tax.eval_ids
         ptr, ids, is_inner, pad_node = descent_arrays(tax)
         return cls(
             mesh=mesh,
             num_tips=db.num_tips,
-            n_padded=ref.shape[0],
+            n_padded=n_padded,
+            backend=backend,
             ref_bits=ref_bits,
+            kmer_bits=kmer_bits,
             node_starts=jax.device_put(tax.range_start[eval_ids], repl),
             node_ends=jax.device_put(tax.range_end[eval_ids], repl),
             dsc_range_start=jax.device_put(tax.range_start, repl),
@@ -156,7 +173,50 @@ class ShardedPipeline:
             out_specs=(P("data", "model"), P("data", None)),
         )(query_bits, self.ref_bits, exact_ids)
 
-    def counts_and_hist(self, query_bits: np.ndarray, exact_ids: np.ndarray, s_max: int):
+    @partial(jax.jit, static_argnames=("self", "s_max", "n_high", "interpret"))
+    def _counts_hist_pallas(
+        self, kmer_idx, exact_ids, s_max: int, n_high: int, interpret: bool
+    ):
+        from ..ops.intersect_pallas import LANE, _hs_planes, _planes_to_counts
+
+        n_local = self.n_padded // self.mesh.shape["model"]
+
+        def stage(kidx, km_l, ids):
+            # local gather of this shard's postings columns + CSA fold:
+            # each shard computes intersection counts for its own block of
+            # references — no cross-shard traffic until the psum'ed histogram
+            rows = km_l[kidx.reshape(-1)]  # [B_l*K, Nw_l]
+            rows = rows.reshape(rows.shape[0], -1, LANE)
+            planes = _hs_planes(
+                rows, batch=kidx.shape[0], n_high=n_high, interpret=interpret
+            )
+            counts = _planes_to_counts(planes, n_local)  # [B_l, n_local]
+            lo = jax.lax.axis_index("model") * n_local
+            ref_idx = lo + jnp.arange(n_local, dtype=jnp.int32)
+            hit = (ref_idx[None, None, :] == ids[:, :, None]).any(axis=1)
+            counts = jnp.where(hit, 0.0, counts)
+            hist = jax.lax.psum(
+                intersection_histogram(counts, s_max), "model"
+            )
+            return counts, hist
+
+        return jax.shard_map(
+            stage,
+            mesh=self.mesh,
+            in_specs=(P("data", None), P(None, "model"), P("data", None)),
+            out_specs=(P("data", "model"), P("data", None)),
+            # pallas_call's out_shape has no varying-axes annotation; the
+            # explicit psum above is the only collective in this stage
+            check_vma=False,
+        )(kmer_idx, self.kmer_bits, exact_ids)
+
+    def counts_and_hist(
+        self,
+        query_bits: np.ndarray,
+        exact_ids: np.ndarray,
+        s_max: int,
+        kmer_idx: np.ndarray | None = None,
+    ):
         """Returns (counts device handle, hist device handle [B, s_max]).
 
         Async: nothing is forced to host here, so the caller can overlap this
@@ -164,12 +224,19 @@ class ShardedPipeline:
         the histogram still includes the padded reference rows; the caller
         subtracts `n_padded - num_tips` after pulling it.
         """
-        qb = jax.device_put(
-            query_bits, NamedSharding(self.mesh, P("data", None))
-        )
-        ids = jax.device_put(
-            exact_ids, NamedSharding(self.mesh, P("data", None))
-        )
+        data = NamedSharding(self.mesh, P("data", None))
+        ids = jax.device_put(exact_ids, data)
+        if self.backend == "pallas":
+            k_pad = kmer_idx.shape[1]
+            n_high = max(int(np.ceil(np.log2(k_pad + 1))) - 4, 1)
+            # interpret mode follows the MESH devices (which may be the
+            # virtual CPU backend even when the default platform is a chip)
+            interpret = self.mesh.devices.flat[0].platform != "tpu"
+            kidx = jax.device_put(kmer_idx, data)
+            return self._counts_hist_pallas(
+                kidx, ids, s_max, n_high, interpret
+            )
+        qb = jax.device_put(query_bits, data)
         return self._counts_hist(qb, ids, s_max)
 
     # -- stage 2: significance compaction ------------------------------

@@ -84,3 +84,20 @@ def test_pad_to_multiple():
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh("3,3")
+
+
+@pytest.mark.parametrize("spec", ["1,8", "2,4"])
+def test_sharded_pallas_matches_oracle(world, spec):
+    """Gather+CSA counts kernel under the mesh: kmer-major postings columns
+    sharded over 'model', per-shard fold, psum-merged histograms."""
+    db, queries = world
+    mesh = make_mesh(spec)
+    dev = DeviceClassifier.create(
+        db, backend="pallas", batch_size=4, mesh=mesh
+    )
+    oracle = OracleClassifier(db)
+    got = []
+    for start in range(0, len(queries), dev.batch_size):
+        got += dev.classify_batch(queries[start : start + dev.batch_size])
+    for (label, seq), qr in zip(queries, got):
+        assert qr.out_string() == oracle.classify(label, seq).out_string(), label
