@@ -140,6 +140,118 @@ void rx_pack_query_rows(const uint8_t* flat, const int64_t* offsets,
     }
 }
 
+}  // extern "C"
+
+// FASTA parsing + 4-bit IUPAC encoding in one pass
+// (reference: src/parser.rs:36-154). Lines are trimmed; blank and ';'
+// comment lines dropped; reference mode extracts the lineage via the
+// `tax=([^;]+);` pattern (first position where "tax=" is followed by at
+// least one non-';' char and a terminating ';'), query mode takes the full
+// header. Query-mode consecutive headers collapse onto the last one (the
+// running sequence is only flushed when non-empty, src/parser.rs:138-141).
+//
+// Returns 0 on success; 1 bad char, 2 missing tax=, 3 not-FASTA,
+// 4 label/sequence count mismatch. Callers re-run the (slow) Python parser
+// on error to produce the reference's exact error messages.
+
+namespace {
+
+inline const uint8_t* iupac_lut() {
+    static uint8_t lut[256];
+    static bool init = false;
+    if (!init) {
+        memset(lut, 0xFF, sizeof(lut));
+        auto set = [&](char c, uint8_t v) {
+            lut[(uint8_t)c] = v;
+            lut[(uint8_t)(c | 32)] = v;  // lowercase
+        };
+        set('A', 1); set('C', 2); set('G', 4); set('T', 8);
+        set('W', 1 | 8); set('S', 2 | 4); set('M', 1 | 2); set('K', 4 | 8);
+        set('R', 1 | 4); set('Y', 2 | 8);
+        set('B', 2 | 4 | 8); set('D', 1 | 4 | 8); set('H', 1 | 2 | 8);
+        set('V', 1 | 2 | 4); set('N', 1 | 2 | 4 | 8);
+        init = true;
+    }
+    return lut;
+}
+
+}  // namespace
+
+extern "C" {
+
+int rx_parse_fasta(const uint8_t* text, int64_t n, int with_tax,
+                   uint8_t* seq_out, int64_t* seq_offsets,
+                   int64_t* label_ranges, int64_t* n_records_out) {
+    const uint8_t* lut = iupac_lut();
+    int64_t n_labels = 0, n_chunks = 0, seq_pos = 0;
+    int64_t chunk_start = 0;  // seq_pos at the start of the running chunk
+    bool seen_any = false;
+    bool have_label = false;  // query mode: a header was seen
+    seq_offsets[0] = 0;
+    int64_t i = 0;
+    while (i < n) {
+        // one line [i, j)
+        int64_t j = i;
+        while (j < n && text[j] != '\n') ++j;
+        int64_t a = i, b = j;
+        while (a < b && (unsigned char)text[a] <= ' ') ++a;   // ltrim
+        while (b > a && (unsigned char)text[b - 1] <= ' ') --b;  // rtrim
+        i = j + 1;
+        if (a == b || text[a] == ';') continue;  // blank / comment
+        if (!seen_any && text[a] != '>') return 3;
+        seen_any = true;
+        if (text[a] == '>') {
+            int64_t ls = a + 1, le = b;
+            if (with_tax) {
+                // tax=([^;]+); search
+                int64_t ts = -1, te = -1;
+                for (int64_t p = ls; p + 5 <= le; ++p) {
+                    if (text[p] == 't' && text[p + 1] == 'a' &&
+                        text[p + 2] == 'x' && text[p + 3] == '=') {
+                        int64_t q = p + 4;
+                        while (q < le && text[q] != ';') ++q;
+                        if (q < le && q > p + 4) { ts = p + 4; te = q; break; }
+                    }
+                }
+                if (ts < 0) return 2;
+                label_ranges[2 * n_labels] = ts;
+                label_ranges[2 * n_labels + 1] = te;
+                ++n_labels;
+                if (seq_pos > chunk_start) {  // flush non-empty chunk
+                    seq_offsets[++n_chunks] = seq_pos;
+                    chunk_start = seq_pos;
+                }
+            } else {
+                if (have_label && seq_pos > chunk_start) {
+                    seq_offsets[++n_chunks] = seq_pos;
+                    chunk_start = seq_pos;
+                    ++n_labels;  // previous label committed
+                }
+                label_ranges[2 * n_labels] = ls;
+                label_ranges[2 * n_labels + 1] = le;
+                have_label = true;
+            }
+        } else {
+            for (int64_t p = a; p < b; ++p) {
+                uint8_t v = lut[text[p]];
+                if (v == 0xFF) return 1;
+                seq_out[seq_pos++] = v;
+            }
+        }
+    }
+    // final chunk: always appended (src/parser.rs:82, 144)
+    seq_offsets[++n_chunks] = seq_pos;
+    chunk_start = seq_pos;
+    if (with_tax) {
+        if (n_labels != n_chunks) return 4;
+    } else {
+        if (have_label) ++n_labels;
+        n_chunks = n_labels;  // query mode: one chunk per committed label
+    }
+    *n_records_out = n_labels;
+    return 0;
+}
+
 // Sequential f64 tip-probability prefix sum from a compressed count row
 // (4-bit nibble plane + ascending (tip, count) overflow list): the exact
 // host replay of the reference's per-query prefix scan

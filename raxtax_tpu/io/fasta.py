@@ -41,6 +41,16 @@ def read_text(path: str | Path) -> str:
         return f.read()
 
 
+def read_bytes(path: str | Path) -> bytes:
+    path = Path(path)
+    ext = path.suffix.lower().lstrip(".")
+    if ext in ("gz", "gzip"):
+        with gzip.open(path, "rb") as f:
+            return f.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
 def _clean_lines(fasta_str: str) -> list[str]:
     if not fasta_str:
         raise FastaError("File is empty")
@@ -87,7 +97,16 @@ def parse_reference_fasta_str(fasta_str: str) -> ReferenceRecords:
 
 
 def parse_reference_fasta_file(path: str | Path) -> ReferenceRecords:
-    return parse_reference_fasta_str(read_text(path))
+    data = read_bytes(path)
+    from .. import native
+
+    parsed = native.parse_fasta(data, with_tax=True)
+    if parsed is not None:
+        lineages, seqs = parsed
+        return ReferenceRecords(lineages=lineages, sequences=seqs)
+    # slow path: no native lib, or an input error whose exact message the
+    # Python parser reproduces
+    return parse_reference_fasta_str(data.decode("utf-8"))
 
 
 def iter_fasta_records(path: str | Path):
@@ -142,4 +161,14 @@ def parse_query_fasta_str(
 def parse_query_fasta_file(
     path: str | Path, queries_to_skip: set[str] | None = None
 ) -> list[tuple[str, np.ndarray]]:
-    return parse_query_fasta_str(read_text(path), queries_to_skip)
+    data = read_bytes(path)
+    from .. import native
+
+    parsed = native.parse_fasta(data, with_tax=False)
+    if parsed is not None:
+        labels, seqs = parsed
+        skip = queries_to_skip or set()
+        return [
+            (lab, s) for lab, s in zip(labels, seqs) if lab not in skip
+        ]
+    return parse_query_fasta_str(data.decode("utf-8"), queries_to_skip)

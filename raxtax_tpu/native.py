@@ -75,6 +75,12 @@ def get_lib():
             _u32p, _i32p, _u16p, ctypes.c_int64, _f64p, ctypes.c_int64, _f64p,
         ]
         lib.rx_tip_cumsum_u16.argtypes = [_u16p, _f64p, ctypes.c_int64, _f64p]
+        lib.rx_parse_fasta.restype = ctypes.c_int
+        lib.rx_parse_fasta.argtypes = [
+            _u8p, ctypes.c_int64, ctypes.c_int,
+            _u8p, _i64p, _i64p,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
         log.info("native host kernels loaded: %s", path)
     except OSError as e:
@@ -129,6 +135,42 @@ def distinct_kmers(seq: np.ndarray) -> np.ndarray | None:
     s = np.ascontiguousarray(seq, dtype=np.uint8)
     m = lib.rx_distinct_kmers(s, s.shape[0], out)
     return out[:m].copy()
+
+
+def parse_fasta(
+    data: bytes, with_tax: bool
+) -> tuple[list[str], list[np.ndarray]] | None:
+    """One-pass FASTA parse + 4-bit encode (reference: src/parser.rs:36-154).
+
+    Returns (labels, encoded_sequences) — labels are lineages in reference
+    mode, full headers in query mode. None when the native lib is missing
+    OR the input has any error (callers re-run the Python parser for the
+    reference's exact error messages).
+    """
+    lib = get_lib()
+    if lib is None or not data:
+        return None
+    buf = np.frombuffer(data, dtype=np.uint8)
+    max_records = int(np.count_nonzero(buf == ord(">"))) + 1
+    seq_out = np.empty(buf.shape[0], dtype=np.uint8)
+    seq_offsets = np.zeros(max_records + 1, dtype=np.int64)
+    label_ranges = np.zeros(2 * max_records + 2, dtype=np.int64)
+    n_records = ctypes.c_int64(0)
+    rc = lib.rx_parse_fasta(
+        np.ascontiguousarray(buf), buf.shape[0], 1 if with_tax else 0,
+        seq_out, seq_offsets, label_ranges, ctypes.byref(n_records),
+    )
+    if rc != 0:
+        return None
+    m = int(n_records.value)
+    labels = [
+        data[label_ranges[2 * i] : label_ranges[2 * i + 1]].decode("utf-8")
+        for i in range(m)
+    ]
+    seqs = [
+        seq_out[seq_offsets[i] : seq_offsets[i + 1]].copy() for i in range(m)
+    ]
+    return labels, seqs
 
 
 def tip_cumsum_nibble(

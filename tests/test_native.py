@@ -83,3 +83,46 @@ def test_tip_cumsum_matches_numpy(lib, seqs):
         np.testing.assert_array_equal(cum, want)
         cum16 = native.tip_cumsum_u16(counts[b].astype(np.uint16), table, N)
         np.testing.assert_array_equal(cum16, want)
+
+
+def test_parse_fasta_matches_python(lib):
+    from raxtax_tpu.io.fasta import (
+        parse_query_fasta_str,
+        parse_reference_fasta_str,
+    )
+
+    content = (
+        "; a comment line\n"
+        "\n"
+        ">r1 info tax=p:A,c:B,s:X; more\n"
+        "ACGTacgt\nNNWW\n"
+        ">r2;tax=p:A,s:Y;\n"
+        "ttkkmm\n"
+        ">r3 tax=;junk tax=p:B,s:Z;\n"
+        "GGGG\n"
+    )
+    want = parse_reference_fasta_str(content)
+    got = native.parse_fasta(content.encode(), with_tax=True)
+    assert got is not None
+    labels, seqs = got
+    assert labels == want.lineages
+    assert len(seqs) == len(want.sequences)
+    for a, b in zip(seqs, want.sequences):
+        np.testing.assert_array_equal(a, b)
+
+    qcontent = ">q1 full label\nACGT\n>skipme\nAC\n>q2\n>q3\nGGTT\nCC\n"
+    wantq = parse_query_fasta_str(qcontent)
+    gotq = native.parse_fasta(qcontent.encode(), with_tax=False)
+    assert gotq is not None
+    labels, seqs = gotq
+    assert labels == [l for l, _ in wantq]
+    for (_, b), a in zip(wantq, seqs):
+        np.testing.assert_array_equal(a, b)
+
+    # error inputs -> None (Python path produces the message)
+    assert native.parse_fasta(b"not fasta\n", with_tax=True) is None
+    assert native.parse_fasta(b">r1 no tax\nACGT\n", with_tax=True) is None
+    assert native.parse_fasta(b">r1 tax=p:A;\nACGTZ\n", with_tax=True) is None
+    assert native.parse_fasta(
+        b">a tax=x;\n>b tax=y;\nACGT\n", with_tax=True
+    ) is None
