@@ -10,13 +10,11 @@ src/parser.rs:38-40).
 
 from __future__ import annotations
 
-import io as _io
 from dataclasses import dataclass
 from pathlib import Path
 
 import numpy as np
 
-from ..utils.encoding import NUM_KMERS
 from . import bitmatrix
 from .taxonomy import Taxonomy, build_taxonomy, sort_records
 

@@ -15,7 +15,7 @@ scatter-add loop — identical integers, vector-friendly layout.
 from __future__ import annotations
 
 import logging
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

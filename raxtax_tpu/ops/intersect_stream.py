@@ -29,7 +29,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..db.bitmatrix import WORD_BITS
 from .intersect_pallas import LANE, PAD_ROW, _planes_to_counts
 
 ROW_BLOCK = 256  #: rows streamed per grid step
