@@ -112,23 +112,44 @@ class ResultWriter:
     def send(self, label: str, out_string: str, tsv_string: str | None):
         self.queue.put((label, out_string, tsv_string))
 
+    #: max queries committed per flush burst
+    BURST = 256
+
     def _run(self):
+        """Drain in bursts: write a burst's result lines, flush, then write
+        its progress labels, flush. The progress file therefore never
+        overstates completed work (its entries only hit the OS after their
+        result lines), at two flushes per burst instead of per query —
+        the same commit ordering as the reference writer thread
+        (src/main.rs:126-136)."""
+        import queue as _queue
+
         try:
             while True:
                 item = self.queue.get()
-                if item is self._SENTINEL:
-                    return
-                label, out_string, tsv_string = item
-                if self.writers.tsv is not None:
-                    self.writers.tsv.write(tsv_string + "\n")
-                self.writers.primary.write(out_string + "\n")
-                # flush results before committing progress so the progress
-                # file never overstates completed work
+                done = item is self._SENTINEL
+                burst = [] if done else [item]
+                while len(burst) < self.BURST and not done:
+                    try:
+                        nxt = self.queue.get_nowait()
+                    except _queue.Empty:
+                        break
+                    if nxt is self._SENTINEL:
+                        done = True
+                        break
+                    burst.append(nxt)
+                for label, out_string, tsv_string in burst:
+                    if self.writers.tsv is not None:
+                        self.writers.tsv.write(tsv_string + "\n")
+                    self.writers.primary.write(out_string + "\n")
                 self.writers.primary.flush()
                 if self.writers.tsv is not None:
                     self.writers.tsv.flush()
-                self.writers.progress.write(label + "\n")
+                for label, _, _ in burst:
+                    self.writers.progress.write(label + "\n")
                 self.writers.progress.flush()
+                if done:
+                    return
         except BaseException as e:  # surfaced on join
             self.error = e
 
