@@ -181,3 +181,18 @@ def test_device_descent_mode(family_world):
         b = fast.classify_batch(chunk)
         for qa, qb in zip(a, b):
             assert len(qa.results) == len(qb.results), qa.label
+
+
+def test_engine_without_native(family_world, monkeypatch):
+    """The numpy fallbacks behind every native kernel produce identical
+    results (classification runs with RAXTAX_NO_NATIVE semantics)."""
+    from raxtax_tpu import native as native_mod
+
+    monkeypatch.setattr(native_mod, "get_lib", lambda: None)
+    db, queries = family_world
+    oracle = OracleClassifier(db)
+    dev = DeviceClassifier.create(db, backend="xla", batch_size=8)
+    chunk = queries[:8]
+    got = dev.classify_batch(chunk)
+    for (label, seq), qr in zip(chunk, got):
+        assert render(qr) == render(oracle.classify(label, seq)), label
