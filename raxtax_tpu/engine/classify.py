@@ -39,10 +39,17 @@ def make_classifier(db: Database, args):
 
     mesh_spec = getattr(args, "mesh", "")
     mesh = None
-    if mesh_spec or len(jax.devices()) > 1:
+    # Multi-process runs use independent per-host meshes: each process
+    # classifies its own query slice on its own local devices (the
+    # analysis is embarrassingly parallel, reference README.md:161), with
+    # jax.distributed providing rendezvous and the output-merge barrier.
+    local = (
+        jax.local_devices() if jax.process_count() > 1 else jax.devices()
+    )
+    if mesh_spec or len(local) > 1:
         from ..parallel.mesh import make_mesh
 
-        mesh = make_mesh(mesh_spec)
+        mesh = make_mesh(mesh_spec, devices=local)
         log.info("device mesh: %s", dict(mesh.shape))
     return DeviceClassifier.create(
         db,

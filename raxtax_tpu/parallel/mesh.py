@@ -52,7 +52,7 @@ def make_mesh(spec: str = "", devices=None) -> Mesh:
             # backend when it has enough devices
             # (XLA_FLAGS=--xla_force_host_platform_device_count=N)
             try:
-                cpu = jax.devices("cpu")
+                cpu = jax.local_devices(backend="cpu")
             except RuntimeError:
                 cpu = []
             if d * m <= len(cpu):
@@ -150,7 +150,7 @@ class ShardedPipeline:
     # -- stage 1: counts + histogram ----------------------------------
 
     @partial(jax.jit, static_argnames=("self", "s_max"))
-    def _counts_hist(self, query_bits, exact_ids, s_max: int):
+    def _counts_hist(self, query_bits, ref_bits, exact_ids, s_max: int):
         n_local = self.n_padded // self.mesh.shape["model"]
 
         def stage(qb, rb, ids):
@@ -171,11 +171,12 @@ class ShardedPipeline:
             mesh=self.mesh,
             in_specs=(P("data", None), P("model", None), P("data", None)),
             out_specs=(P("data", "model"), P("data", None)),
-        )(query_bits, self.ref_bits, exact_ids)
+        )(query_bits, ref_bits, exact_ids)
 
     @partial(jax.jit, static_argnames=("self", "s_max", "n_high", "interpret"))
     def _counts_hist_pallas(
-        self, kmer_idx, exact_ids, s_max: int, n_high: int, interpret: bool
+        self, kmer_idx, kmer_bits, exact_ids, s_max: int, n_high: int,
+        interpret: bool,
     ):
         from ..ops.intersect_pallas import LANE, _hs_planes, _planes_to_counts
 
@@ -208,7 +209,7 @@ class ShardedPipeline:
             # pallas_call's out_shape has no varying-axes annotation; the
             # explicit psum above is the only collective in this stage
             check_vma=False,
-        )(kmer_idx, self.kmer_bits, exact_ids)
+        )(kmer_idx, kmer_bits, exact_ids)
 
     def counts_and_hist(
         self,
@@ -234,17 +235,16 @@ class ShardedPipeline:
             interpret = self.mesh.devices.flat[0].platform != "tpu"
             kidx = jax.device_put(kmer_idx, data)
             return self._counts_hist_pallas(
-                kidx, ids, s_max, n_high, interpret
+                kidx, self.kmer_bits, ids, s_max, n_high, interpret
             )
         qb = jax.device_put(query_bits, data)
-        return self._counts_hist(qb, ids, s_max)
+        return self._counts_hist(qb, self.ref_bits, ids, s_max)
 
     # -- stage 2: significance compaction ------------------------------
 
     @partial(jax.jit, static_argnames=("self", "top_k"))
-    def _significant(self, counts, table, top_k: int):
+    def _significant(self, counts, table, starts, ends, top_k: int):
         n_local = self.n_padded // self.mesh.shape["model"]
-        starts, ends = self.node_starts, self.node_ends
 
         def stage(counts_l, table_l):
             cum0 = tip_prob_cumsum(counts_l, table_l)  # [B_l, N_l+1]
@@ -273,14 +273,16 @@ class ShardedPipeline:
         tbl = jax.device_put(
             table, NamedSharding(self.mesh, P("data", None))
         )
-        return self._significant(counts, tbl, top_k)
+        return self._significant(
+            counts, tbl, self.node_starts, self.node_ends, top_k
+        )
 
     # -- stage 3: fallback descents -------------------------------------
 
     @partial(jax.jit, static_argnames=("self",))
-    def _descend(self, cum0, b_arr, start_arr):
+    def _descend(self, cum0, b_arr, start_arr, rs, re, child_ptr, child_ids,
+                 is_inner):
         n_local = self.n_padded // self.mesh.shape["model"]
-        rs, re = self.dsc_range_start, self.dsc_range_end
 
         def stage(cum0_l, b_arr, start_arr):
             # Each data shard runs every descent redundantly (M is tiny):
@@ -301,9 +303,9 @@ class ShardedPipeline:
                 start_arr,
                 s,
                 e,
-                self.dsc_child_ptr,
-                self.dsc_child_ids,
-                self.dsc_is_inner,
+                child_ptr,
+                child_ids,
+                is_inner,
                 psum_axis="model",
                 vary_axes=("data",),
             )
@@ -325,5 +327,10 @@ class ShardedPipeline:
                 cum0,
                 jax.device_put(b_arr, repl),
                 jax.device_put(start_arr, repl),
+                self.dsc_range_start,
+                self.dsc_range_end,
+                self.dsc_child_ptr,
+                self.dsc_child_ids,
+                self.dsc_is_inner,
             )
         )
