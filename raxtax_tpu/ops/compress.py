@@ -35,7 +35,16 @@ _NIBBLE_SHIFTS = np.arange(8, dtype=np.uint32) * 4
 @partial(jax.jit, static_argnames=("budget",))
 def compress_counts(counts: jax.Array, budget: int = OVER_BUDGET):
     """counts [B, N] f32 (exact ints) -> (plane u32 [B, ceil(N/8)],
-    over_idx i32 [B, budget], over_val u16 [B, budget], n_over i32 [B])."""
+    over_idx i32 [B, budget] ascending tips, over_val u16 [B, budget],
+    n_over i32 [B]).
+
+    Overflow extraction via `top_k` (a cumsum-rank scatter is ~8x slower on
+    TPU at this shape): the descending top-`budget` counts contain every
+    entry > 15 whenever `n_over <= budget`; the pairs are then re-sorted by
+    tip index so the host decoder's ascending pointer walk works. Entries
+    past `n_over` are garbage by construction — consumers only read the
+    first `min(n_over, budget)`.
+    """
     B, N = counts.shape
     ci = counts.astype(jnp.int32)
     pad = (-N) % 8
@@ -46,27 +55,21 @@ def compress_counts(counts: jax.Array, budget: int = OVER_BUDGET):
     shifts = jnp.asarray(_NIBBLE_SHIFTS)[None, None, :]
     plane = (lo8 << shifts).sum(axis=2, dtype=jnp.uint32)
 
-    mask = ci > 15
-    rank = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1
-    ok = mask & (rank < budget)
-    slot = jnp.where(ok, rank, budget)
-    rowid = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[:, None], (B, N))
-    tip = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (B, N))
-    over_idx = (
-        jnp.zeros((B, budget + 1), jnp.int32)
-        .at[rowid, slot]
-        .set(tip, mode="drop")
-    )
-    over_val = (
-        jnp.zeros((B, budget + 1), jnp.int32)
-        .at[rowid, slot]
-        .set(ci, mode="drop")
-    )
-    n_over = mask.sum(axis=1).astype(jnp.int32)
+    n_over = (ci > 15).sum(axis=1).astype(jnp.int32)
+    vals, idx = jax.lax.top_k(counts, min(budget, N))
+    if budget > N:
+        vals = jnp.pad(vals, ((0, 0), (0, budget - N)))
+        idx = jnp.pad(idx, ((0, 0), (0, budget - N)))
+    # ascending-tip order within each row; push non-overflow slots to the
+    # tail so the first n_over entries are exactly the > 15 tips
+    sort_key = jnp.where(vals > 15.0, idx, jnp.int32(2**30))
+    order = jnp.argsort(sort_key, axis=1)
+    idx = jnp.take_along_axis(idx, order, axis=1)
+    vals = jnp.take_along_axis(vals, order, axis=1)
     return (
         plane,
-        over_idx[:, :budget],
-        over_val[:, :budget].astype(jnp.uint16),
+        idx.astype(jnp.int32),
+        vals.astype(jnp.uint16),
         n_over,
     )
 
