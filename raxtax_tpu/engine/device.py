@@ -147,13 +147,13 @@ class DeviceClassifier:
         eval_ids = tax.eval_ids
         if not batch_size:
             # HBM-aware batch auto-sizing: the pipeline keeps ~8 [B, N]-class
-            # f32/i32 buffers live (counts, cum0, prob gather, eval-node conf,
-            # compression temporaries), so bound their footprint to ~6 GiB
-            # and leave the rest for the resident bit matrix (measured on
-            # v5e-16G: batch 64 at 1M refs fits alongside the 8.2 GB
-            # postings matrix and runs ~1.9x faster than batch 32).
+            # f32/i32 buffers live (counts, cum0, prob gather, eval-node
+            # conf), so bound their footprint to ~7.5 GiB and leave the rest
+            # for the resident bit matrix (measured on v5e-16G: batch 128 at
+            # 1M refs fits alongside the 8.2 GB postings matrix — 247
+            # q/s/chip vs 179 at batch 64).
             per_query = (db.num_tips + tax.eval_ids.shape[0]) * 4 * 6
-            batch_size = max(32, min(256, (6 << 30) // max(per_query, 1)))
+            batch_size = max(32, min(256, (15 << 29) // max(per_query, 1)))
             batch_size = 1 << (batch_size.bit_length() - 1)  # floor pow2
         self = cls(
             db=db,
