@@ -101,3 +101,21 @@ def test_sharded_pallas_matches_oracle(world, spec):
         got += dev.classify_batch(queries[start : start + dev.batch_size])
     for (label, seq), qr in zip(queries, got):
         assert qr.out_string() == oracle.classify(label, seq).out_string(), label
+
+
+def test_sharded_device_descent(world):
+    """The on-device f32 descent under the mesh (psum-merged range sums)
+    resolves fallbacks to plausible leaves; compare result shape with the
+    exact path (ties may differ by design)."""
+    db, queries = world
+    mesh = make_mesh("2,4")
+    exact = DeviceClassifier.create(db, backend="xla", batch_size=4, mesh=mesh)
+    fast = DeviceClassifier.create(
+        db, backend="xla", batch_size=4, mesh=mesh, descent="device"
+    )
+    for start in range(0, len(queries), 4):
+        chunk = queries[start : start + 4]
+        a = exact.classify_batch(chunk)
+        b = fast.classify_batch(chunk)
+        for qa, qb in zip(a, b):
+            assert len(qa.results) == len(qb.results), qa.label
