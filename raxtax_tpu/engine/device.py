@@ -362,7 +362,11 @@ class DeviceClassifier:
         exact = [self.db.exact_matches(s) for s in seqs]
 
         query_bits = pack_query_kmers(kmer_sets)
-        k_pad = _round_up(max((k.size for k in kmer_sets), default=1) or 1, 32)
+        # coarse shape buckets: mixed-length query streams would otherwise
+        # recompile the count kernels on every batch whose max k-mer count
+        # shifts slightly
+        k_max = max((k.size for k in kmer_sets), default=1) or 1
+        k_pad = _round_up(k_max, 32 if k_max <= 128 else 128)
         kmer_idx = np.full((B, k_pad), 0x10000, dtype=np.int32)
         for i, km in enumerate(kmer_sets):
             kmer_idx[i, : km.size] = km
@@ -374,6 +378,8 @@ class DeviceClassifier:
             if self.skip_exact_matches
             else 0
         )
+        if e_pad:  # pow2 bucket, same reason as k_pad
+            e_pad = 1 << (e_pad - 1).bit_length()
         ids = np.full((B, max(e_pad, 1)), -1, dtype=np.int32)
         if e_pad:
             for i, e in enumerate(exact):

@@ -196,3 +196,23 @@ def test_engine_without_native(family_world, monkeypatch):
     got = dev.classify_batch(chunk)
     for (label, seq), qr in zip(chunk, got):
         assert render(qr) == render(oracle.classify(label, seq)), label
+
+
+def test_mixed_length_queries(small_world):
+    """Long (16S-scale) and short queries in one stream classify correctly
+    through the shape-bucketed batching."""
+    rng = np.random.default_rng(23)
+    db, _ = small_world
+    from raxtax_tpu.utils.encoding import encode_sequence
+
+    queries = [
+        ("long1", encode_sequence(random_seq(rng, 1400))),
+        ("short", encode_sequence(random_seq(rng, 60))),
+        ("long2", encode_sequence(random_seq(rng, 1200))),
+        ("mid", encode_sequence(random_seq(rng, 420))),
+    ]
+    oracle = OracleClassifier(db)
+    dev = DeviceClassifier.create(db, backend="xla", batch_size=4)
+    got = dev.classify_batch(queries)
+    for (label, seq), qr in zip(queries, got):
+        assert render(qr) == render(oracle.classify(label, seq)), label
