@@ -219,6 +219,61 @@ class DeviceClassifier:
             )
         return intersection_counts_xla(jnp.asarray(query_bits), self.ref_bits)
 
+    def _ensure_cums(
+        self,
+        queries: list[int],
+        counts,
+        rows_pre,
+        tables64: list[np.ndarray | None],
+        cum_for: dict[int, np.ndarray],
+    ) -> None:
+        """Fill `cum_for[b]` with the exact f64 tip-probability prefix sum
+        for every requested query (src/lineage.rs:62-67): decode from the
+        prefetched compressed counts when available, else pull raw u16 rows.
+        The native kernel fuses decode + table gather + running sum; numpy
+        fallbacks produce identical left-to-right f64 rounding."""
+        from .. import native
+
+        num_tips = self.db.num_tips
+        todo = [b for b in queries if b not in cum_for]
+        u16_needed: list[int] = []
+        if rows_pre is not None:
+            plane, over_idx, over_val, n_over = (
+                np.asarray(a) for a in rows_pre
+            )
+            budget = over_idx.shape[1]
+            for b in todo:
+                n = int(n_over[b])
+                if n > budget:  # rare: overflow list didn't fit
+                    u16_needed.append(b)
+                    continue
+                cum = native.tip_cumsum_nibble(
+                    plane[b], over_idx[b], over_val[b], n,
+                    tables64[b], num_tips,
+                )
+                if cum is None:  # no native lib: numpy decompress path
+                    from ..ops.compress import decompress_rows
+
+                    row, over = decompress_rows(
+                        plane, over_idx, over_val, n_over, [b], num_tips,
+                        budget=budget,
+                    )
+                    assert not over
+                    tipp = tables64[b][row[0]]
+                    cum = np.concatenate(([0.0], np.cumsum(tipp)))
+                cum_for[b] = cum
+        else:
+            u16_needed = todo
+
+        if u16_needed:
+            rows = gather_count_rows(counts, u16_needed)[:, :num_tips]
+            for row, b in zip(rows, u16_needed):
+                cum = native.tip_cumsum_u16(row, tables64[b], num_tips)
+                if cum is None:
+                    tipp = tables64[b][row]
+                    cum = np.concatenate(([0.0], np.cumsum(tipp)))
+                cum_for[b] = cum
+
     def _resolve_fallbacks(
         self,
         sites: list[tuple[int, int]],  # (query, eval_pos) descent starts
@@ -226,11 +281,14 @@ class DeviceClassifier:
         cum0,
         tables64: list[np.ndarray | None],
         eval_ids: np.ndarray,
-        rows_pre=None,  # prefetched u16 count matrix (device handle) or None
+        rows_pre=None,  # prefetched compressed counts (device handles) or None
+        cum_cache: dict[int, np.ndarray] | None = None,
     ) -> dict[tuple[int, int], int]:
         """Max-confidence descents for every site (src/lineage.rs:151-177).
 
         Returns {(query, global start node) -> final Taxon/Sequence node}.
+        `cum_cache` carries f64 prefix sums already computed for this batch
+        (boundary-risk correction); missing entries are filled here.
         """
         import jax.numpy as jnp
 
@@ -269,54 +327,12 @@ class DeviceClassifier:
             return fallback_map
 
         # exact mode: replay the reference's sequential f64 prefix sums
-        # (src/lineage.rs:62-67) on host for the affected queries. The
-        # native kernel fuses nibble decode + table gather + running f64 sum
-        # in one pass; numpy fallbacks materialize the same values. Either
-        # way the additions are left-to-right f64 — identical rounding to
-        # the reference's scan.
-        from .. import native
-
+        # (src/lineage.rs:62-67) on host for the affected queries.
         fb_queries = sorted({b for b, _ in sites})
-        num_tips = self.db.num_tips
-        cum_for: dict[int, np.ndarray] = {}
-        u16_needed: list[int] = []  # fb queries needing a raw u16 row
-
-        if rows_pre is not None:
-            plane, over_idx, over_val, n_over = (
-                np.asarray(a) for a in rows_pre
-            )
-            budget = over_idx.shape[1]
-            for b in fb_queries:
-                n = int(n_over[b])
-                if n > budget:  # rare: overflow list didn't fit
-                    u16_needed.append(b)
-                    continue
-                cum = native.tip_cumsum_nibble(
-                    plane[b], over_idx[b], over_val[b], n,
-                    tables64[b], num_tips,
-                )
-                if cum is None:  # no native lib: numpy decompress path
-                    from ..ops.compress import decompress_rows
-
-                    row, over = decompress_rows(
-                        plane, over_idx, over_val, n_over, [b], num_tips,
-                        budget=budget,
-                    )
-                    assert not over
-                    tipp = tables64[b][row[0]]
-                    cum = np.concatenate(([0.0], np.cumsum(tipp)))
-                cum_for[b] = cum
-        else:
-            u16_needed = fb_queries
-
-        if u16_needed:
-            rows = gather_count_rows(counts, u16_needed)[:, :num_tips]
-            for row, b in zip(rows, u16_needed):
-                cum = native.tip_cumsum_u16(row, tables64[b], num_tips)
-                if cum is None:
-                    tipp = tables64[b][row]
-                    cum = np.concatenate(([0.0], np.cumsum(tipp)))
-                cum_for[b] = cum
+        if cum_cache is None:
+            cum_cache = {}
+        self._ensure_cums(fb_queries, counts, rows_pre, tables64, cum_cache)
+        cum_for = cum_cache
 
         by_b: dict[int, list[int]] = {}
         for b, pos in sites:
@@ -500,11 +516,36 @@ class DeviceClassifier:
         eval_ids = tax.eval_ids
         sig_sets: list[dict[int, float]] = []
         sites: list[tuple[int, int]] = []  # (query, eval_pos)
+        cum_cache: dict[int, np.ndarray] = {}
+        if self.descent == "exact" and n_real:
+            # Boundary-risk correction: device confidences are f32; a value
+            # within f32 error of a half-cent rounding boundary (x.xx5, incl.
+            # the 0.005 significance cutoff) could round differently than
+            # the reference's f64 prefix sums. Detect risky queries from the
+            # f32 values (error bound ~log2(N)·2^-24·100 per cent-scaled
+            # value, well under the 1e-3 margin for XLA's log-depth scans)
+            # and recompute their significant confidences exactly.
+            scaled = vals[:n_real].astype(np.float64) * 100.0
+            near = np.abs((scaled % 1.0) - 0.5) < 1e-3
+            valid = (
+                np.arange(vals.shape[1])[None, :] < n_sig[:n_real, None]
+            )
+            risky = sorted(np.nonzero((near & valid).any(axis=1))[0].tolist())
+            if risky:
+                self._ensure_cums(
+                    risky, counts, rows_pre, tables64, cum_cache
+                )
+        rs_all, re_all = tax.range_start, tax.range_end
         for b in range(n_real):
             m = int(n_sig[b])
             sig = {
                 int(eval_ids[idx[b, j]]): float(vals[b, j]) for j in range(m)
             }
+            if b in cum_cache:
+                cum = cum_cache[b]
+                sig = {
+                    n: float(cum[re_all[n]] - cum[rs_all[n]]) for n in sig
+                }
             sig_sets.append(sig)
             # Fallback sites must mirror evaluate_significant's pruning: the
             # device threshold has f32 slack below the 0.005 rounding cutoff,
@@ -525,7 +566,7 @@ class DeviceClassifier:
         # u16 count matrix instead of a per-site gather
         self._fb_dense = len({b for b, _ in sites}) * 2 >= max(n_real, 1)
         fallback_map = self._resolve_fallbacks(
-            sites, counts, cum0, tables64, eval_ids, rows_pre
+            sites, counts, cum0, tables64, eval_ids, rows_pre, cum_cache
         )
 
         out: list[QueryResult] = []

@@ -21,7 +21,7 @@ import numpy as np
 
 from ..db.database import Database
 from ..lineage.evaluate import EvaluationResult, evaluate_dense
-from ..prob.oracle import highest_hit_prob_per_reference
+from ..prob.model import normalized_size_probs
 from ..utils.encoding import decompress_sequence, sequence_to_kmers
 
 log = logging.getLogger("raxtax")
@@ -105,14 +105,28 @@ class OracleClassifier:
         exact = db.exact_matches(sequence)
         kmers = sequence_to_kmers(sequence)
         assert kmers.size <= 0xFFFF, "too many distinct query k-mers"
-        num_trials = kmers.size // 2
         counts = intersection_counts(db, kmers)
         if self.skip_exact_matches and exact:
             counts[np.asarray(exact)] = 0  # src/raxtax.rs:65-68
-        probs = highest_hit_prob_per_reference(
-            int(kmers.size), int(num_trials), counts
+        # The same memoized hist-based f64 computation the device engine
+        # uses (prob/model.py), so oracle and device agree BIT-exactly —
+        # including near-tie fallback descents. The reference-structured
+        # per-reference loop (prob/oracle.py) is validated against this
+        # path to f64 tolerance in tests; at the last-ulp level the
+        # reference itself is indeterminate (its `prod` accumulates over a
+        # hash map's arbitrary iteration order, src/prob.rs:62-73).
+        K = int(kmers.size)
+        hist = np.bincount(
+            counts.astype(np.int64), minlength=K + 1
+        ).astype(np.int64)
+        probs_size, _ = normalized_size_probs(hist, K)
+        probs = probs_size[counts.astype(np.int64)]
+        inv_n = 1.0 / db.num_tips
+        h = hist[: probs_size.shape[0]].astype(np.float64)
+        global_signal = float(np.sqrt(h @ (probs_size - inv_n) ** 2))
+        results = evaluate_dense(
+            db.taxonomy, label, probs, global_signal=global_signal
         )
-        results = evaluate_dense(db.taxonomy, label, probs)
         assert results, "evaluation must produce at least one result"
         results, warned = apply_exact_match_policy(
             label, db, exact, results, self.raw_confidence, self.skip_exact_matches

@@ -1,0 +1,80 @@
+"""Randomized device-vs-oracle byte-parity (deterministic seeds).
+
+Distilled from the adversarial fuzz that caught two real parity bugs:
+(1) the classifier oracle used the reference-structured per-reference
+probability loop whose last-ulp rounding differs from the memoized
+hist-based path the device uses — flipping near-tie fallback descents;
+(2) confidences landing exactly on half-cent rounding boundaries (k/N
+fractions on small uniform worlds) rounded differently in f32 than in the
+reference's f64 prefix sums — now caught by boundary-risk detection and
+recomputed exactly. Small worlds with tiny uniform probabilities hit both
+constantly.
+"""
+
+import numpy as np
+import pytest
+
+from raxtax_tpu.db.database import build_database
+from raxtax_tpu.engine.device import DeviceClassifier
+from raxtax_tpu.models.oracle import OracleClassifier
+from raxtax_tpu.utils.encoding import encode_sequence
+
+BASES = "ACGTNWSMKRYBDHV"
+
+
+def rand_seq(rng, n):
+    idx = rng.integers(0, 4, size=n)
+    amb = rng.random(n) < 0.01
+    idx[amb] = rng.integers(0, len(BASES), size=int(amb.sum()))
+    return "".join(BASES[i] for i in idx)
+
+
+def make_world(seed):
+    rng = np.random.default_rng(seed)
+    n_fam = int(rng.integers(2, 8))
+    depth_choices = [2, 3, 4, 5]
+    fams = [rand_seq(rng, int(rng.integers(40, 260))) for _ in range(n_fam)]
+    lineages, seqs = [], []
+    n_refs = int(rng.integers(4, 60))
+    for i in range(n_refs):
+        d = depth_choices[i % len(depth_choices)] if rng.random() < 0.3 else 3
+        lineages.append(
+            ",".join(f"l{k}:V{(i // max(1, (k + 1))) % (3 + k)}" for k in range(d))
+        )
+        base = list(fams[i % n_fam])
+        for _ in range(int(rng.integers(0, max(2, len(base) // 8)))):
+            base[rng.integers(0, len(base))] = "ACGT"[rng.integers(0, 4)]
+        seqs.append("".join(base))
+    db = build_database(lineages, [encode_sequence(s) for s in seqs])
+    queries = []
+    for i in range(6):
+        r = rng.random()
+        if r < 0.3:
+            queries.append(
+                (f"q{i}", encode_sequence(seqs[int(rng.integers(0, n_refs))]))
+            )
+        elif r < 0.6:
+            base = list(seqs[int(rng.integers(0, n_refs))])
+            for _ in range(3):
+                base[rng.integers(0, len(base))] = "ACGT"[rng.integers(0, 4)]
+            queries.append((f"q{i}", encode_sequence("".join(base))))
+        else:
+            queries.append(
+                (f"q{i}", encode_sequence(rand_seq(rng, int(rng.integers(10, 200)))))
+            )
+    return db, queries
+
+
+# seeds 1044/1054/1074 reproduce the two historical bug classes
+@pytest.mark.parametrize("seed", [1044, 1054, 1074, 7, 99, 12345])
+def test_random_world_parity(seed):
+    db, queries = make_world(seed)
+    dev = DeviceClassifier.create(db, backend="xla", batch_size=4)
+    orc = OracleClassifier(db)
+    got = []
+    for lo in range(0, len(queries), 4):
+        got += dev.classify_batch(queries[lo : lo + 4])
+    for (label, seq), qr in zip(queries, got):
+        want = orc.classify(label, seq)
+        assert qr.out_string() == want.out_string(), (seed, label)
+        assert qr.tsv_string() == want.tsv_string(), (seed, label)
