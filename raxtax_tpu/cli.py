@@ -10,6 +10,7 @@ resume semantics, same BSD-style exit codes.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
@@ -24,12 +25,18 @@ from .utils.logging import (
 
 
 def build_arg_parser() -> argparse.ArgumentParser:
+    from . import __version__
+
     p = argparse.ArgumentParser(
         prog="raxtax-tpu",
         description=(
             "TPU-native k-mer based non-Bayesian taxonomic classifier "
             "(capability-compatible with raxtax)"
         ),
+    )
+    # clap `#[command(version)]` equivalent (reference: src/io.rs:113)
+    p.add_argument(
+        "--version", action="version", version=f"%(prog)s {__version__}"
     )
     p.add_argument(
         "-d", "--database-path", required=True, type=Path,
@@ -121,7 +128,20 @@ def build_arg_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
-    args = build_arg_parser().parse_args(argv)
+    parser = build_arg_parser()
+    args = parser.parse_args(argv)
+    if args.only_db and args.skip_db:
+        # clap `conflicts_with` usage error, exit code 2 (src/io.rs:128-129)
+        parser.error("--only-db cannot be used with --skip-db")
+    if (args.num_processes or args.process_id >= 0) and not (
+        args.coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    ):
+        # without a coordinator both processes would run as 0-of-1 and
+        # clobber each other's unsharded output files
+        parser.error(
+            "--num-processes/--process-id require --coordinator "
+            "(or JAX_COORDINATOR_ADDRESS)"
+        )
     if args.query_file is None and not args.only_db:
         print(
             "error: the following arguments are required: -i/--query-file "
@@ -135,18 +155,29 @@ def main(argv: list[str] | None = None) -> int:
 
     # multi-host: initialize before any JAX backend use; per-host shards
     proc_idx, proc_count = 0, 1
-    if args.coordinator or args.num_processes or args.backend != "oracle":
-        import os as _os
+    if args.coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        from .parallel.multihost import maybe_initialize
 
-        if args.coordinator or _os.environ.get("JAX_COORDINATOR_ADDRESS"):
-            from .parallel.multihost import maybe_initialize
-
-            proc_idx, proc_count = maybe_initialize(
-                args.coordinator, args.num_processes, args.process_id
-            )
-    from .parallel.multihost import shard_suffix
+        proc_idx, proc_count = maybe_initialize(
+            args.coordinator, args.num_processes, args.process_id
+        )
+    from .parallel.multihost import consolidate_artifacts, shard_suffix
 
     args._shard_suffix = shard_suffix(proc_idx, proc_count)
+
+    # Resuming across a different process count: fold any stale shard
+    # artifacts (out/tsv/ckp/log/json) into the merged single-file set
+    # before opening this run's writers, so completed work is never redone
+    # or clobbered. Host 0 consolidates; others wait at the barrier.
+    if not args.redo and Path(args.prefix).is_dir():
+        if proc_count > 1:
+            from jax.experimental import multihost_utils
+
+            if proc_idx == 0:
+                consolidate_artifacts(Path(args.prefix))
+            multihost_utils.sync_global_devices("raxtax-consolidate")
+        else:
+            consolidate_artifacts(Path(args.prefix))
 
     try:
         writers, checkpoint = get_output(args)
@@ -188,6 +219,8 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 return errors.CANTCREAT
             try:
+                # stderr info mirror (reference: src/tree.rs:148-150)
+                info_stderr("Writing database to file...", level)
                 save_database(db, bin_path)
                 writers.log.write(
                     f"[INFO ] Created binary database at {bin_path}\n"
@@ -210,8 +243,12 @@ def main(argv: list[str] | None = None) -> int:
 
         try:
             with phase_timer("Parsing Queries"):
+                # multi-host: slice by GLOBAL query index first, then drop
+                # each host's processed queries — filtering first would
+                # migrate queries between hosts on a partial resume
                 queries = parse_query_fasta_file(
-                    args.query_file, checkpoint.processed_queries
+                    args.query_file,
+                    None if proc_count > 1 else checkpoint.processed_queries,
                 )
         except Exception as e:
             report_error(f"Failed to parse {args.query_file}", e)
@@ -223,7 +260,10 @@ def main(argv: list[str] | None = None) -> int:
             from .parallel.multihost import host_query_slice
 
             lo, hi = host_query_slice(len(queries), proc_idx, proc_count)
-            queries = queries[lo:hi]
+            done = checkpoint.processed_queries
+            queries = [
+                (l, s) for l, s in queries[lo:hi] if l not in done
+            ]
 
         writer = ResultWriter(writers)
         try:
@@ -249,21 +289,6 @@ def main(argv: list[str] | None = None) -> int:
             )
             return errors.IOERR
 
-        if proc_count > 1:
-            # all hosts flush their shards, then host 0 merges them into the
-            # reference's single-file artifacts
-            from jax.experimental import multihost_utils
-
-            from .parallel.multihost import merge_output_shards
-
-            multihost_utils.sync_global_devices("raxtax-output-shards")
-            if proc_idx == 0:
-                merge_output_shards(Path(args.prefix), "raxtax.out", proc_count)
-                if args.tsv:
-                    merge_output_shards(
-                        Path(args.prefix), "raxtax.tsv", proc_count
-                    )
-
         if args.clean:
             with phase_timer("Checkpoint Cleanup"):
                 try:
@@ -275,6 +300,15 @@ def main(argv: list[str] | None = None) -> int:
                         "Please delete them manually.", e
                     )
     writers.close()
+    if proc_count > 1:
+        # all hosts flush + close their shards, then host 0 folds them into
+        # the reference's single-file artifacts (incl. checkpoint/progress,
+        # so a later resume under any process count starts coherently)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("raxtax-output-shards")
+        if proc_idx == 0:
+            consolidate_artifacts(Path(args.prefix))
     return errors.OK
 
 

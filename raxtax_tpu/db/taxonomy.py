@@ -146,7 +146,11 @@ def build_taxonomy(sorted_lineages: list[str]) -> Taxonomy:
     stack: list[int] = []
     stack_labels: list[str] = []
 
+    from ..utils.logging import Progress
+
+    meter = Progress(len(sorted_lineages), "Building lineage tree...")
     for tip, lineage in enumerate(sorted_lineages):
+        meter.inc()
         levels = lineage.split(",")
         last = len(levels) - 1
         for lvl, label in enumerate(levels):
@@ -182,6 +186,7 @@ def build_taxonomy(sorted_lineages: list[str]) -> Taxonomy:
         node_type.append(NODE_SEQUENCE)
         stack.append(node)
         stack_labels.append(labels[leaf])
+    meter.finish()
 
     return Taxonomy(
         lineages=list(sorted_lineages),

@@ -146,5 +146,6 @@ def check_incomplete_output(path: Path, processed: set[str]) -> None:
     if needs_rewrite:
         tmp = path.with_suffix(".tmp")
         with open(tmp, "w") as f:
-            f.write("\n".join(retained) + "\n")
+            if retained:
+                f.write("\n".join(retained) + "\n")
         os.replace(tmp, path)

@@ -71,11 +71,15 @@ class ReferenceRecords:
 
 def parse_reference_fasta_str(fasta_str: str) -> ReferenceRecords:
     """Parse a reference FASTA string (reference: src/parser.rs:46-105)."""
+    from ..utils.logging import Progress
+
     lines = _clean_lines(fasta_str)
     lineages: list[str] = []
     chunks: list[list[str]] = []
     current: list[str] = []
+    meter = Progress(len(lines), "Parsing reference sequences...")
     for line in lines:
+        meter.inc()
         if line.startswith(">"):
             label = line[1:]
             m = _TAX_RE.search(label)
@@ -90,6 +94,7 @@ def parse_reference_fasta_str(fasta_str: str) -> ReferenceRecords:
         else:
             current.append(line)
     chunks.append(current)
+    meter.finish()
     if len(lineages) != len(chunks):
         raise FastaError("Number of sequences does not match number of labels")
     sequences = [encode_sequence("".join(c)) for c in chunks]

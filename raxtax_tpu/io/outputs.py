@@ -70,7 +70,20 @@ def get_output(args) -> tuple[OutputWriters, Checkpoint]:
         except (OSError, ValueError, KeyError) as e:
             log.error("Failed to read checkpoint!: %s", e)
     if checkpoint is None:
-        if prefix.is_dir() and not ckp_path.is_file() and not args.redo:
+        if (
+            prefix.is_dir()
+            and not ckp_path.is_file()
+            and not args.redo
+            # shard runs tolerate an existing prefix when it holds a merged
+            # checkpoint (multi-host resume; the merged processed baseline
+            # is folded in below) or only other hosts' shard artifacts
+            # (hosts create their files concurrently)
+            and not (shard and (prefix / "raxtax.json").is_file())
+            and not (
+                shard
+                and all(".shard" in p.name for p in prefix.iterdir())
+            )
+        ):
             raise OutputError(
                 f"Output folder {prefix} already exists! Please specify another "
                 "folder with -o <PATH> or run with --redo to force overriding "
@@ -81,6 +94,21 @@ def get_output(args) -> tuple[OutputWriters, Checkpoint]:
             ckp_path, args, prefix / f"raxtax.ckp{shard}"
         )
     prefix.mkdir(parents=True, exist_ok=True)
+    if shard and not args.redo:
+        # fold the merged (consolidated) progress baseline into this host's
+        # processed set so completed queries from prior runs — under any
+        # process count — are skipped
+        merged_json = prefix / "raxtax.json"
+        if merged_json.is_file():
+            try:
+                merged = Checkpoint.load(merged_json)
+                if merged.valid_for(args):
+                    with open(merged.progress_file) as f:
+                        checkpoint.processed_queries |= {
+                            l.rstrip("\n") for l in f if l.strip()
+                        }
+            except (OSError, ValueError, KeyError) as e:
+                log.error("Failed to read merged checkpoint!: %s", e)
     append = not args.redo
     writers = OutputWriters(
         primary=_open(out_path, append),

@@ -57,9 +57,9 @@ def make_mesh(spec: str = "", devices=None) -> Mesh:
                 cpu = []
             if d * m <= len(cpu):
                 devices, n = cpu, len(cpu)
-        if d * m != n:
-            raise ValueError(f"mesh {d}x{m} != {n} available devices")
-        devices = devices[: d * m]
+        if d * m > n:
+            raise ValueError(f"mesh {d}x{m} > {n} available devices")
+        devices, n = devices[: d * m], d * m
     else:
         d, m = 1, n
     dev_array = np.asarray(devices).reshape(d, m)

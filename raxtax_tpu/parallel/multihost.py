@@ -72,22 +72,77 @@ def shard_suffix(process_index: int, process_count: int) -> str:
     return f".shard{process_index:0{width}d}"
 
 
-def merge_output_shards(prefix: Path, name: str, process_count: int) -> Path:
-    """Concatenate `<prefix>/<name>.shardK` files (K ascending) into
-    `<prefix>/<name>` and remove the shards. Idempotent."""
-    out = prefix / name
-    shards = [
-        prefix / f"{name}{shard_suffix(k, process_count)}"
-        for k in range(process_count)
-    ]
-    missing = [s for s in shards if not s.is_file()]
-    if missing:
-        raise FileNotFoundError(f"missing output shards: {missing}")
-    with open(out, "w") as dst:
-        for s in shards:
-            with open(s) as src:
+def _shard_paths(prefix: Path, name: str) -> list[Path]:
+    """Existing `<prefix>/<name>.shard*` files, ascending by shard id."""
+    return sorted(
+        prefix.glob(f"{name}.shard*"),
+        key=lambda p: int(p.suffix.removeprefix(".shard") or 0),
+    )
+
+
+def consolidate_artifacts(prefix: Path) -> None:
+    """Fold per-host shard artifacts into the reference's single-file set.
+
+    For every `raxtax.{out,tsv,ckp,log}.shardK` present: trim the out/tsv
+    shard to its own progress shard's completed queries (the per-query
+    commit contract, reference: src/io.rs:156-187), append the trimmed
+    content to the merged file, append the progress labels to the merged
+    `raxtax.ckp`, and delete the shard. A merged `raxtax.json` is adopted
+    from the first shard checkpoint if none exists. Idempotent and safe to
+    run before a resume under ANY process count — completed work from a
+    prior multi-host run is preserved in the merged files, never redone.
+
+    The merged `raxtax.out` is appended to (not overwritten), so an
+    interrupted re-merge can never replace completed output with empty
+    shards.
+    """
+    import json
+
+    from ..io.checkpoint import check_incomplete_output
+
+    ckp_shards = _shard_paths(prefix, "raxtax.ckp")
+    if not ckp_shards and not _shard_paths(prefix, "raxtax.out"):
+        return
+    merged_ckp = prefix / "raxtax.ckp"
+    merged_json = prefix / "raxtax.json"
+    for ckp in ckp_shards:
+        suffix = ckp.suffix  # ".shardK"
+        with open(ckp) as f:
+            done = {l.rstrip("\n") for l in f if l.strip()}
+        for name in ("raxtax.out", "raxtax.tsv"):
+            shard = prefix / f"{name}{suffix}"
+            if not shard.is_file():
+                continue
+            check_incomplete_output(shard, done)
+            with open(prefix / name, "a") as dst, open(shard) as src:
+                data = src.read()
+                if data.strip():
+                    dst.write(data)
+            shard.unlink()
+        with open(merged_ckp, "a") as dst:
+            dst.write("".join(f"{l}\n" for l in sorted(done)))
+        ckp.unlink()
+        log_shard = prefix / f"raxtax.log{suffix}"
+        if log_shard.is_file():
+            with open(prefix / "raxtax.log", "a") as dst, open(log_shard) as src:
                 dst.write(src.read())
-    for s in shards:
-        if s != out:
-            s.unlink()
-    return out
+            log_shard.unlink()
+        json_shard = prefix / f"raxtax.json{suffix}"
+        if json_shard.is_file():
+            if not merged_json.is_file():
+                try:
+                    with open(json_shard) as f:
+                        d = json.load(f)
+                    d["checkpoint_file"] = str(merged_json.absolute())
+                    d["progress_file"] = str(merged_ckp.absolute())
+                    tmp = str(merged_json) + ".tmp"
+                    with open(tmp, "w") as f:
+                        json.dump(d, f, indent=2)
+                    os.replace(tmp, merged_json)
+                except (OSError, ValueError, KeyError) as e:
+                    log.error("could not adopt shard checkpoint: %s", e)
+            json_shard.unlink()
+    # orphan out/tsv shards without a progress shard carry no committed work
+    for name in ("raxtax.out", "raxtax.tsv"):
+        for shard in _shard_paths(prefix, name):
+            shard.unlink()

@@ -75,8 +75,18 @@ def main() -> int:
             runtime, peak_mb, rc = run_with_memory_poll(cmd)
             os.environ["XLA_FLAGS"] = env_flags
         if nd == args.devices[0]:
-            base_runtime = runtime * nd  # normalize to 1-device equivalent
-        speedup = base_runtime / runtime if base_runtime else 0.0
+            base_runtime = runtime  # smallest-mesh reference point
+        base_nd = args.devices[0]
+        if args.queries_per_device:
+            # weak scaling: work grows with devices, so ideal is CONSTANT
+            # runtime — efficiency = t(base)/t(nd) (scaled to the base
+            # device count), speedup = efficiency x relative devices
+            efficiency = base_runtime / runtime if runtime else 0.0
+            speedup = efficiency * (nd / base_nd)
+        else:
+            # strong scaling: fixed work, ideal runtime ∝ 1/devices
+            speedup = base_runtime / runtime if runtime else 0.0
+            efficiency = speedup * base_nd / nd
         rows.append(
             {
                 "devices": nd,
@@ -84,7 +94,7 @@ def main() -> int:
                 "runtime_s": round(runtime, 3),
                 "peak_rss_mb": round(peak_mb, 1),
                 "speedup": round(speedup, 3),
-                "efficiency": round(speedup / nd, 3),
+                "efficiency": round(efficiency, 3),
                 "returncode": rc,
             }
         )

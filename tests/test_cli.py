@@ -177,3 +177,94 @@ def test_missing_query_file(world):
 def test_missing_input(world):
     ref, q, out = world
     assert main(["-d", str(ref / "nope"), "-i", str(q), "-o", str(out)]) != 0
+
+
+def test_version_flag(capsys):
+    from raxtax_tpu import __version__
+
+    with pytest.raises(SystemExit) as e:
+        main(["--version"])
+    assert e.value.code == 0
+    assert __version__ in capsys.readouterr().out
+
+
+def test_only_db_conflicts_with_skip_db(world):
+    ref, q, out = world
+    with pytest.raises(SystemExit) as e:
+        main(["-d", str(ref), "-o", str(out), "--only-db", "--skip-db"])
+    assert e.value.code == 2  # clap usage-error exit code
+
+
+def test_num_processes_requires_coordinator(world, monkeypatch):
+    ref, q, out = world
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    with pytest.raises(SystemExit) as e:
+        main(
+            ["-d", str(ref), "-i", str(q), "-o", str(out),
+             "--num-processes", "2"]
+        )
+    assert e.value.code == 2
+
+
+def test_shard_consolidation_resume(world, monkeypatch):
+    """A partial 2-process run's shard artifacts are folded into the merged
+    files, and a following single-process run reclassifies ONLY the
+    unfinished queries (VERDICT round-1 item 10)."""
+    ref, q, out = world
+    # build a complete single-process reference output for comparison
+    ref_out = world[2].parent / "ref_out"
+    assert run_cli(ref, q, ref_out) == 0
+    complete: dict[str, list[str]] = {}
+    for l in (ref_out / "raxtax.out").read_text().strip().split("\n"):
+        complete.setdefault(l.split("\t", 1)[0], []).append(l)
+
+    # fabricate an interrupted 2-process run: host 0 finished q1, host 1
+    # finished q3 but not q2's commit; its q2 lines are uncommitted garbage
+    out.mkdir()
+    (out / "raxtax.out.shard0").write_text(
+        "".join(l + "\n" for l in complete["q1"])
+    )
+    (out / "raxtax.ckp.shard0").write_text("q1\n")
+    (out / "raxtax.out.shard1").write_text(
+        "q2\tbogus\t0.5\n" + "".join(l + "\n" for l in complete["q3"])
+    )
+    (out / "raxtax.ckp.shard1").write_text("q3\n")
+    import json as _json
+
+    db_path = list(ref_out.glob("*.bin.npz"))
+    for k in (0, 1):
+        (out / f"raxtax.json.shard{k}").write_text(
+            _json.dumps(
+                {
+                    "checkpoint_file": str(out / f"raxtax.json.shard{k}"),
+                    "progress_file": str(out / f"raxtax.ckp.shard{k}"),
+                    "db_fingerprint": {
+                        "path": str(ref),
+                        "size": ref.stat().st_size,
+                        "modified": int(ref.stat().st_mtime),
+                    },
+                    "raw_confidence": False,
+                    "skip_exact_matches": False,
+                    "tsv": False,
+                }
+            )
+        )
+
+    classified = []
+    from raxtax_tpu.models.oracle import OracleClassifier
+
+    orig = OracleClassifier.classify
+
+    def spy(self, label, seq):
+        classified.append(label)
+        return orig(self, label, seq)
+
+    monkeypatch.setattr(OracleClassifier, "classify", spy)
+    assert run_cli(ref, q, out) == 0
+    assert classified == ["q2"]  # q1/q3 adopted from the shard artifacts
+    assert not list(out.glob("*.shard*"))  # shards consolidated away
+    merged = (out / "raxtax.out").read_text().strip().split("\n")
+    expect = [l for lines in complete.values() for l in lines]
+    assert sorted(merged) == sorted(expect)
+    done = (out / "raxtax.ckp").read_text().strip().split("\n")
+    assert set(done) == {"q1", "q2", "q3"}

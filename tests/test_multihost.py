@@ -7,11 +7,9 @@ production single-host path).
 
 from pathlib import Path
 
-import pytest
-
 from raxtax_tpu.parallel.multihost import (
+    consolidate_artifacts,
     host_query_slice,
-    merge_output_shards,
     shard_suffix,
 )
 
@@ -35,15 +33,36 @@ def test_shard_suffix():
     assert shard_suffix(3, 16) == ".shard03"
 
 
-def test_merge_output_shards(tmp_path: Path):
-    for k, content in enumerate(["a\nb\n", "c\n", ""]):
-        (tmp_path / f"raxtax.out.shard{k}").write_text(content)
-    out = merge_output_shards(tmp_path, "raxtax.out", 3)
-    assert out.read_text() == "a\nb\nc\n"
-    assert not list(tmp_path.glob("raxtax.out.shard*"))
+def test_consolidate_merges_committed_shards(tmp_path: Path):
+    for k, (out, ckp) in enumerate(
+        [("a\tx\nb\ty\n", "a\nb\n"), ("c\tz\n", "c\n"), ("", "")]
+    ):
+        (tmp_path / f"raxtax.out.shard{k}").write_text(out)
+        (tmp_path / f"raxtax.ckp.shard{k}").write_text(ckp)
+    consolidate_artifacts(tmp_path)
+    assert (tmp_path / "raxtax.out").read_text() == "a\tx\nb\ty\nc\tz\n"
+    assert sorted(
+        (tmp_path / "raxtax.ckp").read_text().split()
+    ) == ["a", "b", "c"]
+    assert not list(tmp_path.glob("*.shard*"))
+    # idempotent and append-safe: a second run with no shards is a no-op
+    consolidate_artifacts(tmp_path)
+    assert (tmp_path / "raxtax.out").read_text() == "a\tx\nb\ty\nc\tz\n"
 
 
-def test_merge_missing_shard_raises(tmp_path: Path):
-    (tmp_path / "raxtax.out.shard0").write_text("a\n")
-    with pytest.raises(FileNotFoundError):
-        merge_output_shards(tmp_path, "raxtax.out", 2)
+def test_consolidate_trims_uncommitted_lines(tmp_path: Path):
+    # shard has result lines for "b" but "b" never hit the progress file:
+    # its lines are dropped (the progress-file commit contract)
+    (tmp_path / "raxtax.out.shard0").write_text("a\tx\nb\tgarbage\n")
+    (tmp_path / "raxtax.ckp.shard0").write_text("a\n")
+    consolidate_artifacts(tmp_path)
+    assert (tmp_path / "raxtax.out").read_text() == "a\tx\n"
+
+
+def test_consolidate_preserves_existing_merged_output(tmp_path: Path):
+    (tmp_path / "raxtax.out").write_text("old\tline\n")
+    (tmp_path / "raxtax.out.shard0").write_text("")
+    (tmp_path / "raxtax.ckp.shard0").write_text("")
+    consolidate_artifacts(tmp_path)
+    # empty shards never clobber completed merged output
+    assert (tmp_path / "raxtax.out").read_text() == "old\tline\n"

@@ -1,0 +1,107 @@
+"""Fused counter-plane kernels vs dense host references.
+
+Planes are built host-side from known integer count matrices, so every
+kernel (histogram, table-lookup probs, overflow extraction) is checked
+against the trivially-correct dense computation, incl. ragged tile tails
+and the padded-tip correction.
+"""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from raxtax_tpu.ops.planes import (  # noqa: E402
+    planes_high_counts,
+    planes_histogram,
+    planes_probs,
+    probs_to_tip_order,
+)
+
+TIPS_PER_WORD = 32
+
+
+def encode_planes(counts: np.ndarray, n_planes: int) -> np.ndarray:
+    """[B, N] int counts -> [B, P, S, 128] uint32 bit-sliced planes.
+
+    Inverse of the decode in ops/planes.py: plane p, word (s, lane), bit
+    `bit` holds bit p of the count of tip (s*128+lane)*32 + bit.
+    """
+    B, N = counts.shape
+    assert N % (128 * TIPS_PER_WORD) == 0
+    S = N // (128 * TIPS_PER_WORD)
+    c = counts.reshape(B, S, 128, TIPS_PER_WORD).astype(np.uint32)
+    shifts = np.arange(TIPS_PER_WORD, dtype=np.uint32)
+    planes = np.zeros((B, n_planes, S, 128), np.uint32)
+    for p in range(n_planes):
+        bits = (c >> np.uint32(p)) & np.uint32(1)
+        planes[:, p] = (bits << shifts[None, None, None, :]).sum(
+            axis=-1, dtype=np.uint32
+        )
+    return planes
+
+
+@pytest.fixture(params=[(2, 1), (3, 3)], ids=["S1", "S3"])
+def world(request):
+    B, S = request.param
+    rng = np.random.default_rng(42 + S)
+    n_pad = S * 128 * TIPS_PER_WORD
+    num_tips = n_pad - rng.integers(0, 128 * TIPS_PER_WORD)
+    counts = np.zeros((B, n_pad), np.int64)
+    counts[:, :num_tips] = rng.integers(0, 100, size=(B, num_tips))
+    # sprinkle some larger counts to exercise high planes + overflow
+    hot = rng.integers(0, num_tips, size=20)
+    counts[:, hot] = rng.integers(100, 128, size=(B, 20))
+    planes = encode_planes(counts, n_planes=7)  # counts < 128
+    return counts, planes, int(num_tips)
+
+
+def test_planes_histogram_matches_bincount(world):
+    counts, planes, num_tips = world
+    s_max = 128
+    hist = np.asarray(
+        planes_histogram(jnp.asarray(planes), s_max, num_tips, interpret=True)
+    )
+    for b in range(counts.shape[0]):
+        expect = np.bincount(counts[b, :num_tips], minlength=s_max)
+        np.testing.assert_array_equal(hist[b], expect)
+
+
+def test_planes_probs_matches_table_gather(world):
+    counts, planes, num_tips = world
+    s_max = 128
+    B = counts.shape[0]
+    rng = np.random.default_rng(7)
+    table = rng.random((B, s_max)).astype(np.float32)
+    probs = planes_probs(jnp.asarray(planes), jnp.asarray(table), interpret=True)
+    flat = np.asarray(probs_to_tip_order(probs, num_tips))
+    for b in range(B):
+        np.testing.assert_array_equal(
+            flat[b, :num_tips], table[b][counts[b, :num_tips]]
+        )
+
+
+def test_planes_high_counts(world):
+    counts, planes, num_tips = world
+    out = planes_high_counts(jnp.asarray(planes), interpret=True)
+    flat = np.asarray(probs_to_tip_order(out, num_tips)).astype(np.int64)
+    expect = np.where(counts > 15, counts, 0)
+    np.testing.assert_array_equal(flat[:, :num_tips], expect[:, :num_tips])
+
+
+def test_planes_histogram_ragged_tail():
+    # S=5 with tile st=min(S,256)... exercise cdiv masking by monkeypatching
+    # a small tile: use S just over a power of two and verify equality
+    rng = np.random.default_rng(3)
+    B, S = 2, 5
+    n_pad = S * 128 * TIPS_PER_WORD
+    counts = rng.integers(0, 31, size=(B, n_pad)).astype(np.int64)
+    planes = encode_planes(counts, n_planes=5)
+    hist = np.asarray(
+        planes_histogram(jnp.asarray(planes), 32, n_pad, interpret=True)
+    )
+    for b in range(B):
+        np.testing.assert_array_equal(
+            hist[b], np.bincount(counts[b], minlength=32)
+        )
