@@ -18,6 +18,30 @@
 #include <cstdint>
 #include <cstring>
 
+#include <algorithm>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// Run fn(t) on `nthreads` workers (fn(0) inline when nthreads <= 1).
+// The reference parallelizes its postings dedup with rayon
+// (reference: src/tree.rs:134-137, thread count from -t, src/main.rs:119);
+// here the whole bit-matrix build threads the same way.
+template <typename F>
+inline void parallel_for_threads(int nthreads, F fn) {
+    if (nthreads <= 1) {
+        fn(0);
+        return;
+    }
+    std::vector<std::thread> pool;
+    pool.reserve(nthreads);
+    for (int t = 0; t < nthreads; ++t) pool.emplace_back(fn, t);
+    for (auto& th : pool) th.join();
+}
+
+}  // namespace
+
 namespace {
 
 constexpr int K = 8;
@@ -64,37 +88,52 @@ inline void fill_presence_row(const uint8_t* seq, int64_t n, uint32_t* row) {
 extern "C" {
 
 // Build the ref-major presence matrix [n_seqs, 2048] u32 (zeroed by caller)
-// and per-sequence distinct-kmer counts.
+// and per-sequence distinct-kmer counts. Rows are independent, so threads
+// split the sequence range evenly.
 void rx_build_ref_major(const uint8_t* flat, const int64_t* offsets,
                         int64_t n_seqs, uint32_t* ref_major,
-                        int32_t* kmer_counts) {
-    for (int64_t s = 0; s < n_seqs; ++s) {
-        uint32_t* row = ref_major + s * REF_WORDS;
-        fill_presence_row(flat + offsets[s], offsets[s + 1] - offsets[s], row);
-        int32_t cnt = 0;
-        for (int w = 0; w < REF_WORDS; ++w) cnt += __builtin_popcount(row[w]);
-        kmer_counts[s] = cnt;
-    }
+                        int32_t* kmer_counts, int32_t nthreads) {
+    parallel_for_threads(std::max(1, (int)nthreads), [&](int t) {
+        int nt = std::max(1, (int)nthreads);
+        int64_t lo = n_seqs * t / nt, hi = n_seqs * (t + 1) / nt;
+        for (int64_t s = lo; s < hi; ++s) {
+            uint32_t* row = ref_major + s * REF_WORDS;
+            fill_presence_row(flat + offsets[s], offsets[s + 1] - offsets[s],
+                              row);
+            int32_t cnt = 0;
+            for (int w = 0; w < REF_WORDS; ++w)
+                cnt += __builtin_popcount(row[w]);
+            kmer_counts[s] = cnt;
+        }
+    });
 }
 
 // Bit-transpose: kmer-major postings matrix [NUM_KMERS + 1, nw] u32 (zeroed
 // by caller; row 65536 stays zero as the padding row) from the ref-major
-// matrix. Bit n of row k = reference n contains kmer k.
+// matrix. Bit n of row k = reference n contains kmer k. Threads partition
+// the references on 32-boundaries, so each thread touches a disjoint set of
+// output words (word s>>5 of every postings row) — no atomics needed.
 void rx_build_kmer_major(const uint32_t* ref_major, int64_t n_seqs,
-                         uint32_t* kmer_major, int64_t nw) {
-    for (int64_t s = 0; s < n_seqs; ++s) {
-        const uint32_t* row = ref_major + s * REF_WORDS;
-        uint32_t* col_word = kmer_major + (s >> 5);
-        const uint32_t bit = uint32_t(1) << (s & 31);
-        for (int w = 0; w < REF_WORDS; ++w) {
-            uint32_t v = row[w];
-            while (v) {
-                int b = __builtin_ctz(v);
-                v &= v - 1;
-                col_word[int64_t(w * 32 + b) * nw] |= bit;
+                         uint32_t* kmer_major, int64_t nw, int32_t nthreads) {
+    int64_t n_blocks = (n_seqs + 31) / 32;
+    parallel_for_threads(std::max(1, (int)nthreads), [&](int t) {
+        int nt = std::max(1, (int)nthreads);
+        int64_t blo = n_blocks * t / nt, bhi = n_blocks * (t + 1) / nt;
+        int64_t slo = blo * 32, shi = std::min(bhi * 32, n_seqs);
+        for (int64_t s = slo; s < shi; ++s) {
+            const uint32_t* row = ref_major + s * REF_WORDS;
+            uint32_t* col_word = kmer_major + (s >> 5);
+            const uint32_t bit = uint32_t(1) << (s & 31);
+            for (int w = 0; w < REF_WORDS; ++w) {
+                uint32_t v = row[w];
+                while (v) {
+                    int b = __builtin_ctz(v);
+                    v &= v - 1;
+                    col_word[int64_t(w * 32 + b) * nw] |= bit;
+                }
             }
         }
-    }
+    });
 }
 
 // Sorted distinct 8-mers of one sequence (bitmap scan => sorted for free).
@@ -277,6 +316,38 @@ void rx_tip_cumsum_nibble(const uint32_t* plane, const int32_t* over_idx,
         }
         acc += table[c];
         cum[i + 1] = acc;
+    }
+}
+
+// Same, from the planes wire format: four bit-sliced tier planes (the raw
+// Harley-Seal ones/twos/fours/eights counters, so the device ships them
+// with ZERO repacking work) plus the ascending overflow list for counts
+// > 15. Tip i lives in word i>>5, bit i&31 of each plane.
+void rx_tip_cumsum_planes4(const uint32_t* p0, int64_t plane_words,
+                           const int32_t* over_idx, const uint16_t* over_val,
+                           int64_t n_over, const double* table,
+                           int64_t num_tips, double* cum) {
+    const uint32_t* p1 = p0 + plane_words;
+    const uint32_t* p2 = p1 + plane_words;
+    const uint32_t* p3 = p2 + plane_words;
+    double acc = 0.0;
+    cum[0] = 0.0;
+    int64_t oi = 0;
+    for (int64_t w = 0; w * 32 < num_tips; ++w) {
+        uint32_t b0 = p0[w], b1 = p1[w], b2 = p2[w], b3 = p3[w];
+        int64_t base = w * 32;
+        int64_t hi = num_tips - base < 32 ? num_tips - base : 32;
+        for (int64_t j = 0; j < hi; ++j) {
+            uint32_t c = ((b0 >> j) & 1u) | (((b1 >> j) & 1u) << 1) |
+                         (((b2 >> j) & 1u) << 2) | (((b3 >> j) & 1u) << 3);
+            int64_t i = base + j;
+            if (oi < n_over && over_idx[oi] == i) {
+                c = over_val[oi];
+                ++oi;
+            }
+            acc += table[c];
+            cum[i + 1] = acc;
+        }
     }
 }
 

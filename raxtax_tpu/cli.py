@@ -203,7 +203,9 @@ def main(argv: list[str] | None = None) -> int:
         db_path = Path(checkpoint.db_fingerprint.path)
         try:
             with phase_timer("Parsing References"):
-                parsed_from_fasta, db = load_or_parse_database(db_path)
+                parsed_from_fasta, db = load_or_parse_database(
+                    db_path, threads=args.threads
+                )
         except Exception as e:
             report_error(f"Failed to parse {db_path}", e)
             return errors.NOINPUT

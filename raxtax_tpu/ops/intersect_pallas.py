@@ -177,14 +177,28 @@ def _counts_once(kmer_idx, kmer_major, num_tips, n_high, interpret):
     return _planes_to_counts(planes, num_tips)
 
 
-def intersection_counts_pallas(
+@functools.partial(jax.jit, static_argnames=("n_high", "interpret"))
+def _planes_once(kmer_idx, kmer_major, n_high, interpret):
+    rows = kmer_major[kmer_idx.reshape(-1)]  # XLA gather, [B*K_pad, Nw']
+    rows = rows.reshape(rows.shape[0], -1, LANE)  # tile the gathered rows
+    return _hs_planes(
+        rows, batch=kmer_idx.shape[0], n_high=n_high, interpret=interpret
+    )
+
+
+def intersection_planes_pallas(
     kmer_idx: np.ndarray,  # [B, K_pad] int32, padded with PAD_ROW
     kmer_major: jax.Array,  # prepared by prepare_kmer_major
-    num_tips: int,
     max_count: int | None = None,
     interpret: bool | None = None,
     gather_budget_bytes: int = 1 << 30,
-) -> jax.Array:  # [B, num_tips] f32
+) -> jax.Array:  # [B, TIERS + n_high, S, 128] uint32 counter planes
+    """Counter planes of the intersection counts (no dense expansion).
+
+    The planes ARE the count representation consumed by the fused kernels
+    in ops/planes.py (histogram, table lookup, overflow extraction) — the
+    [B, num_tips] count matrix of round 1 is never materialized.
+    """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     kmer_idx = np.asarray(kmer_idx)
@@ -205,9 +219,21 @@ def intersection_counts_pallas(
                 constant_values=PAD_ROW,
             )
         outs.append(
-            _counts_once(
-                jnp.asarray(chunk), kmer_major, num_tips, n_high, interpret
-            )
+            _planes_once(jnp.asarray(chunk), kmer_major, n_high, interpret)
         )
-    counts = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-    return counts[:B]
+    planes = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    return planes[:B]
+
+
+def intersection_counts_pallas(
+    kmer_idx: np.ndarray,  # [B, K_pad] int32, padded with PAD_ROW
+    kmer_major: jax.Array,  # prepared by prepare_kmer_major
+    num_tips: int,
+    max_count: int | None = None,
+    interpret: bool | None = None,
+    gather_budget_bytes: int = 1 << 30,
+) -> jax.Array:  # [B, num_tips] f32
+    planes = intersection_planes_pallas(
+        kmer_idx, kmer_major, max_count, interpret, gather_budget_bytes
+    )
+    return _planes_to_counts(planes, num_tips)

@@ -176,13 +176,19 @@ def max_stream_batch(n_planes: int, vmem_budget: int = 9 << 20) -> int:
     return max(8, (avail // (n_planes * s_t * LANE * 4)) // 8 * 8)
 
 
-def intersection_counts_stream(
+def intersection_planes_stream(
     kmer_idx: np.ndarray,  # [B, K_pad] int32, padded with PAD_ROW
     kmer_major: jax.Array,  # prepared by prepare_kmer_major_stream
-    num_tips: int,
     max_count: int | None = None,
     interpret: bool | None = None,
-) -> jax.Array:  # [B, num_tips] f32
+) -> jax.Array:  # [B, n_planes, S, 128] uint32 counter planes
+    """Counter planes from the streaming-scatter kernel.
+
+    The binary counter planes (plane p = bit 2^p) are the SAME layout the
+    Harley-Seal gather kernel emits, so every fused consumer in
+    ops/planes.py (histogram, probs lookup, compress, row decode) works
+    unchanged on top of this backend.
+    """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     kmer_idx = np.asarray(kmer_idx)
@@ -203,16 +209,30 @@ def intersection_counts_stream(
         pair_q, pair_row, block_ptr = build_pairs(chunk, n_rows)
         n_tiles = pick_tiles(b_sub, n_planes, kmer_major.shape[1])
         assert n_tiles > 0
-        planes = _stream_planes(
-            jnp.asarray(pair_q),
-            jnp.asarray(pair_row),
-            jnp.asarray(block_ptr),
-            kmer_major,
-            batch=b_sub,
-            n_planes=n_planes,
-            n_tiles=n_tiles,
-            interpret=interpret,
+        outs.append(
+            _stream_planes(
+                jnp.asarray(pair_q),
+                jnp.asarray(pair_row),
+                jnp.asarray(block_ptr),
+                kmer_major,
+                batch=b_sub,
+                n_planes=n_planes,
+                n_tiles=n_tiles,
+                interpret=interpret,
+            )
         )
-        outs.append(_planes_to_counts(planes, num_tips))
-    counts = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-    return counts[:B]
+    planes = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    return planes[:B]
+
+
+def intersection_counts_stream(
+    kmer_idx: np.ndarray,  # [B, K_pad] int32, padded with PAD_ROW
+    kmer_major: jax.Array,  # prepared by prepare_kmer_major_stream
+    num_tips: int,
+    max_count: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:  # [B, num_tips] f32
+    planes = intersection_planes_stream(
+        kmer_idx, kmer_major, max_count, interpret
+    )
+    return _planes_to_counts(planes, num_tips)

@@ -29,6 +29,16 @@ import jax.numpy as jnp
 #: re-rounds in f64 and prunes, so extras are harmless.
 SIG_THRESHOLD = 0.005 - 1e-4
 
+#: Smallest f32 argmax margin that PROVES agreement with the reference's
+#: f64 comparison (src/lineage.rs:154-170). Bound: node confidences are
+#: differences of two entries of an f32 cumsum over nonnegative per-tip
+#: probabilities summing to <= 1, so |f32 - f64| per confidence is at most
+#: ~(log2(N)+2)·eps + eps (table f64->f32 cast), < 5.5e-6 at N = 2^24;
+#: comparing two children doubles it. 6e-5 adds a ~5x cushion (covering the
+#: psum combine depth of model-sharded runs). Descent steps whose margin
+#: falls below this are replayed on host in exact f64.
+DESCENT_MARGIN_SAFE = 6e-5
+
 
 GATHER_CHUNK = 16384  #: tip columns per one-hot matmul step
 
@@ -107,6 +117,30 @@ def compact_threshold(conf: jax.Array, threshold: float, k: int):
     return vals[:, :k], idx[:, :k], n_sig
 
 
+@partial(jax.jit, static_argnames=("top_k", "interpret"))
+def significant_nodes_planes(
+    planes: jax.Array,  # [B, P, S, 128] uint32 counter planes
+    table: jax.Array,  # [B, S_max] f32 normalized per-size probabilities
+    node_starts: jax.Array,  # [J] int32 eval-node range starts
+    node_ends: jax.Array,  # [J] int32 eval-node range ends (exclusive)
+    top_k: int = 1024,
+    interpret: bool = False,
+):
+    """Planes-native variant of :func:`significant_nodes`: the per-tip
+    probabilities come straight from the fused decode+lookup kernel, so no
+    count matrix or one-hot temporaries ever reach HBM."""
+    from .planes import planes_probs, probs_to_tip_order
+
+    probs = probs_to_tip_order(
+        planes_probs(planes, table, interpret=interpret), 0
+    )
+    cum0 = jnp.pad(jnp.cumsum(probs, axis=1), ((0, 0), (1, 0)))
+    conf = cum0[:, node_ends] - cum0[:, node_starts]  # [B, J]
+    k = min(top_k, conf.shape[1])
+    vals, idx, n_sig = threshold_set(conf, SIG_THRESHOLD, k)
+    return vals, idx, n_sig, cum0
+
+
 @partial(jax.jit, static_argnames=("top_k",))
 def significant_nodes(
     counts: jax.Array,  # [B, N] f32 (exact integer intersection sizes)
@@ -129,23 +163,70 @@ def significant_nodes(
     return vals, idx, n_sig, cum0
 
 
-#: above this eval-node count, switch from `lax.top_k` to the O(J) scatter
-#: compaction. Measured on v5e: top_k runs 3-4x faster than the scatter up
-#: through J ~ 1.3M (0.15s vs 0.54s at B=32) with a few-second compile, so
-#: the cliff sits above any single-chip-resident database; the scatter path
-#: guards the extreme tail.
-TOPK_MAX_J = 1 << 21
+#: above this eval-node count, switch from a flat `lax.top_k` (a full sort
+#: on TPU — 0.15 s per batch at J ~ 1.3M) to the two-level tile compaction.
+TOPK_MAX_J = 1 << 16
+
+SIG_TILE = 512  #: nodes per tile in the two-level compaction
+
+
+def threshold_set_tiled(
+    conf: jax.Array, threshold: float, k: int, tile: int = SIG_TILE
+):
+    """Two-level threshold compaction for large J.
+
+    A flat top-k sorts the whole [B, J] row; but significant nodes are a
+    sparse, clustered set (an ancestor chain plus the tips below it sit
+    contiguously in eval order), so: (1) one streaming pass counts hits per
+    `tile`-node tile, (2) the T hottest tiles are gathered and (3) a top-k
+    over just T*tile candidates extracts the set. If the T tiles don't cover
+    every hit of some row (diffuse profiles), `n_sig` for that row is
+    inflated past `k` so the caller's adaptive widening re-runs with a
+    larger k (and proportionally larger T) — the same protocol as top-k
+    overflow.
+    """
+    B, J = conf.shape
+    pad = (-J) % tile
+    if pad:
+        conf = jnp.pad(conf, ((0, 0), (0, pad)), constant_values=-1.0)
+    n_t = conf.shape[1] // tile
+    conf3 = conf.reshape(B, n_t, tile)
+    mask3 = conf3 >= threshold
+    cnt_t = mask3.sum(axis=2).astype(jnp.int32)  # [B, n_t]
+    n_sig = cnt_t.sum(axis=1)
+    t_sel = min(n_t, max(8, -(-4 * k // tile)))
+    top_cnt, tile_ids = jax.lax.top_k(cnt_t, t_sel)  # hottest tiles
+    covered = top_cnt.sum(axis=1)
+    gathered = jnp.take_along_axis(
+        conf3, tile_ids[:, :, None], axis=1
+    )  # [B, T, tile]
+    flat = gathered.reshape(B, t_sel * tile)
+    masked = jnp.where(flat >= threshold, flat, -1.0)
+    kk = min(k, t_sel * tile)
+    vals, pos = jax.lax.top_k(masked, kk)
+    tile_of = jnp.take_along_axis(tile_ids, pos // tile, axis=1)
+    idx = tile_of * tile + pos % tile
+    idx = jnp.where(vals >= threshold, idx, -1).astype(jnp.int32)
+    if kk < k:
+        vals = jnp.pad(vals, ((0, 0), (0, k - kk)), constant_values=-1.0)
+        idx = jnp.pad(idx, ((0, 0), (0, k - kk)), constant_values=-1)
+    # uncovered hits -> force the caller to widen (exact count unknown to
+    # it, but >= covered+1 and > k both trigger the same re-run)
+    n_sig = jnp.where(
+        (covered < n_sig) & (n_sig <= k), jnp.int32(k + 1), n_sig
+    )
+    return vals, idx, n_sig
 
 
 def threshold_set(conf: jax.Array, threshold: float, k: int):
     """All above-threshold (value, index) pairs, k-bounded: size-adaptive
-    between `lax.top_k` (faster at small J) and the scatter compaction."""
+    between `lax.top_k` (faster at small J) and the tiled compaction."""
     if conf.shape[1] <= TOPK_MAX_J:
         masked = jnp.where(conf >= threshold, conf, -1.0)
         vals, idx = jax.lax.top_k(masked, k)
         n_sig = (conf >= threshold).sum(axis=1).astype(jnp.int32)
         return vals, idx.astype(jnp.int32), n_sig
-    return compact_threshold(conf, threshold, k)
+    return threshold_set_tiled(conf, threshold, k)
 
 
 @partial(jax.jit, static_argnames=("chunk", "psum_axis", "vary_axes"))
@@ -162,7 +243,14 @@ def max_descent(
     psum_axis: str | None = None,
     vary_axes: tuple[str, ...] = (),
 ):
-    """Vectorized max-confidence descent; returns final GLOBAL node ids [M].
+    """Vectorized max-confidence descent with certainty margins.
+
+    Returns (final GLOBAL node ids [M], min_margin [M] f32) where
+    `min_margin` is the smallest best-vs-second-best confidence gap over the
+    descent's argmax steps (+inf for single-child steps, 0 for exact f32
+    ties). A margin above :data:`DESCENT_MARGIN_SAFE` proves the f32 argmax
+    agrees with the reference's f64 one, so the result can be accepted
+    without host replay (engine/device.py).
 
     Each (query, node) pair independently descends into the max-confidence
     child while the current node is Inner (src/lineage.rs:154-170). Children
@@ -188,38 +276,60 @@ def max_descent(
         hi = child_ptr[node + 1]
 
         def chunk_body(state):
-            off, best_val, best_id = state
+            off, best_val, best_id, second = state
             ids = jax.lax.dynamic_slice(child_ids, (off,), (chunk,))
             j = jnp.arange(chunk, dtype=jnp.int32)
             valid = (off + j) < hi
             vals = jnp.where(valid, conf_of(b, ids), -jnp.inf)
             cmax = vals.max()
             # last in-chunk position attaining cmax
-            pos = jnp.max(jnp.where(vals == cmax, j, -1))
+            at_max = vals == cmax
+            pos = jnp.max(jnp.where(at_max, j, -1))
             cid = ids[pos]
+            # in-chunk runner-up; a duplicated max IS the runner-up
+            dup = at_max.sum() > 1
+            rest = jnp.where(at_max, -jnp.inf, vals).max()
+            csecond = jnp.where(dup, cmax, rest)
             take = cmax >= best_val  # later chunk wins ties
+            new_second = jnp.where(
+                take,
+                jnp.maximum(best_val, csecond),
+                jnp.maximum(second, cmax),
+            )
             return (
                 off + chunk,
                 jnp.where(take, cmax, best_val),
                 jnp.where(take, cid, best_id),
+                new_second,
             )
 
         def chunk_cond(state):
-            off, _, _ = state
+            off, _, _, _ = state
             return off < hi
 
-        _, _, best = jax.lax.while_loop(
+        _, best_val, best, second = jax.lax.while_loop(
             chunk_cond,
             chunk_body,
-            (lo, _vary(jnp.float32(-jnp.inf)), _vary(jnp.int32(0))),
+            (
+                lo,
+                _vary(jnp.float32(-jnp.inf)),
+                _vary(jnp.int32(0)),
+                _vary(jnp.float32(-jnp.inf)),
+            ),
         )
-        return best
+        return best, best_val - second
 
     def descend(b, node):
-        return jax.lax.while_loop(
-            lambda n: node_is_inner[n],
-            lambda n: argmax_child(b, n),
-            _vary(node),
+        def step(state):
+            n, min_margin = state
+            child, margin = argmax_child(b, n)
+            return child, jnp.minimum(min_margin, margin)
+
+        final, min_margin = jax.lax.while_loop(
+            lambda s: node_is_inner[s[0]],
+            step,
+            (_vary(node), _vary(jnp.float32(jnp.inf))),
         )
+        return final, min_margin
 
     return jax.vmap(descend)(b_idx, start_nodes)

@@ -45,52 +45,67 @@ LO = 32  #: low-radix of the s = 32*hi + lo histogram split
 WORD_BITS = 32
 
 
-def _decode_bit(planes, bit: int, n_planes: int):
-    """counts of the `bit`-th tip of each word: [S_t, 128] int32."""
+def _decode_bit(planes, bit, n_planes: int):
+    """counts of the `bit`-th tip of each word: [S_t, 128] int32.
+
+    `bit` may be a traced scalar — the per-bit work runs under a
+    `fori_loop` so the (large, lane-padded) one-hot temporaries of one bit
+    are dead before the next bit's are allocated.
+    """
     c = jnp.zeros_like(planes[0], dtype=jnp.int32)
     one = jnp.uint32(1)
+    bit = jnp.uint32(bit)
     for p in range(n_planes):
-        c = c | (((planes[p] >> jnp.uint32(bit)) & one) << p).astype(jnp.int32)
+        c = c | (((planes[p] >> bit) & one) << p).astype(jnp.int32)
     return c
 
 
-def _hist_kernel(n_planes: int, n_hi: int, s_total: int, st: int):
+def _popcount_u32(x):
+    """SWAR popcount of each u32 lane word."""
+    m1 = jnp.uint32(0x55555555)
+    m2 = jnp.uint32(0x33333333)
+    m4 = jnp.uint32(0x0F0F0F0F)
+    x = x - ((x >> 1) & m1)
+    x = (x & m2) + ((x >> 2) & m2)
+    x = (x + (x >> 4)) & m4
+    return ((x * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+
+def _hist_kernel(n_planes: int, n_vals: int, s_total: int, st: int):
     def kernel(planes_ref, out_ref, acc):
-        # planes_ref: [1, n_planes, st, 128] u32; out_ref: [1, n_hi, LO] f32
-        # acc: VMEM [n_hi, LO] f32 histogram accumulator for query b
+        # planes_ref: [1, n_planes, st, 128] u32; out_ref/acc: SMEM [n_vals]
+        # i32 histogram. For each count value v, the tips with count == v
+        # are exactly the words where every plane bit matches v's bit — an
+        # AND chain over the (pre-complemented) planes, then a popcount.
+        # All ops run on full-lane [st, 128] u32 words: no transposes, no
+        # one-hot padding, no matmuls (VERDICT round-2 rewrite: the MXU
+        # formulation spent its time on lane-padded relayouts).
         t = pl.program_id(1)
         n_t = pl.num_programs(1)
 
         @pl.when(t == 0)
         def _():
-            acc[...] = jnp.zeros_like(acc)
+            for v in range(n_vals):
+                acc[v] = 0
 
         planes = [planes_ref[0, p] for p in range(n_planes)]
-        # rows of the (ceil-divided) last tile that lie past the real plane
-        # extent hold garbage: poison their counts so no one-hot matches
+        comp = [~x for x in planes]
         row = jax.lax.broadcasted_iota(jnp.int32, (st, 128), 0)
-        valid = (t * st + row) < s_total
-        iota_hi = jax.lax.broadcasted_iota(jnp.int32, (n_hi, st, 128), 0)
-        iota_lo = jax.lax.broadcasted_iota(jnp.int32, (LO, st, 128), 0)
-        hist2 = acc[...]
-        for bit in range(WORD_BITS):
-            c = _decode_bit(planes, bit, n_planes)
-            c = jnp.where(valid, c, -1)
-            hi = c >> 5
-            lo = c & 31
-            a = (hi[None, :, :] == iota_hi).astype(jnp.float32)
-            bm = (lo[None, :, :] == iota_lo).astype(jnp.float32)
-            hist2 = hist2 + jax.lax.dot_general(
-                a,
-                bm,
-                dimension_numbers=(((1, 2), (1, 2)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-        acc[...] = hist2
+        # words of the (ceil-divided) last tile beyond the real plane
+        # extent hold garbage: mask them out of every value's count
+        vmask = jnp.where(
+            (t * st + row) < s_total, jnp.uint32(0xFFFFFFFF), jnp.uint32(0)
+        )
+        for v in range(n_vals):
+            m = vmask
+            for p in range(n_planes):
+                m = m & (planes[p] if (v >> p) & 1 else comp[p])
+            acc[v] = acc[v] + jnp.sum(_popcount_u32(m))
 
         @pl.when(t == n_t - 1)
         def _():
-            out_ref[0] = acc[...]
+            for v in range(n_vals):
+                out_ref[0, 0, v] = acc[v]
 
     return kernel
 
@@ -112,11 +127,12 @@ def planes_histogram(
     """
     B, n_planes, S, lanes = planes.shape
     assert s_max % LO == 0
-    n_hi = s_max // LO
-    st = min(S, 256)
+    # counts have n_planes bits, so only 2^P buckets can be hit
+    n_vals = min(s_max, 1 << n_planes)
+    st = min(S, 64)
     n_t = pl.cdiv(S, st)
-    hist2 = pl.pallas_call(
-        _hist_kernel(n_planes, n_hi, S, st),
+    hist = pl.pallas_call(
+        _hist_kernel(n_planes, n_vals, S, st),
         grid=(B, n_t),
         in_specs=[
             pl.BlockSpec(
@@ -126,55 +142,56 @@ def planes_histogram(
             )
         ],
         out_specs=pl.BlockSpec(
-            (1, n_hi, LO), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, n_vals), lambda b, t: (b, 0, 0), memory_space=pltpu.SMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((B, n_hi, LO), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((n_hi, LO), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((B, 1, n_vals), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((n_vals,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(planes)
-    hist = hist2.reshape(B, s_max).astype(jnp.int32)
+    hist = hist.reshape(B, n_vals)
+    if n_vals < s_max:
+        hist = jnp.pad(hist, ((0, 0), (0, s_max - n_vals)))
     pad = S * lanes * WORD_BITS - num_tips
     return hist.at[:, 0].add(-pad)
 
 
-def _probs_kernel(n_planes: int, n_hi: int, s_total: int, st: int):
+def _probs_kernel(n_planes: int, s_total: int, st: int):
+    n_vals = 1 << n_planes
+
     def kernel(planes_ref, table_ref, out_ref):
         # planes_ref: [1, n_planes, st, 128] u32
-        # table_ref:  [1, n_hi, LO] f32 (query b's per-size table, 2-D view)
+        # table_ref:  SMEM [1, n_vals] f32 (query b's per-size table,
+        #             zero-padded to the 2^P mux leaves)
         # out_ref:    [1, 32, st, 128] f32 (bit-major per-tip probabilities)
+        #
+        # The per-tip lookup probs = table[count] is a binary multiplexer
+        # tree over the table entries, keyed directly on the count's plane
+        # BITS — no decode, no one-hot, no matmul, no transposes; every op
+        # is a full-lane [st, 128] select between scalar broadcasts (level
+        # 0) or previous-level vectors. 2^P - 1 selects per word-bit, exact
+        # f32 (pure selection).
         t = pl.program_id(1)
         planes = [planes_ref[0, p] for p in range(n_planes)]
-        table2d = table_ref[0]  # [n_hi, LO]
-        row = jax.lax.broadcasted_iota(jnp.int32, (st, 128), 0)
-        valid = (t * st + row) < s_total
-        iota_hi = jax.lax.broadcasted_iota(jnp.int32, (n_hi, st, 128), 0)
-        for bit in range(WORD_BITS):
-            c = _decode_bit(planes, bit, n_planes)
-            c = jnp.where(valid, c, -1)
-            hi = c >> 5
-            lo = c & 31
-            # stage 1 (MXU): candidate row of the table per tip — exact,
-            # since each one-hot column selects a single f32
-            a = (hi[None, :, :] == iota_hi).astype(jnp.float32)
-            cand = jax.lax.dot_general(
-                table2d,
-                a,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [LO, st, 128]
-            # stage 2 (VPU): select within the 32-entry candidate row by a
-            # 5-level binary multiplexer on lo's bits — 31 selects, exact
-            sel = [cand[i] for i in range(LO)]
-            level = 1
-            while len(sel) > 1:
-                bitmask = (lo & level) != 0
+        leaves = [table_ref[0, 0, v] for v in range(n_vals)]
+
+        def per_bit(bit, carry):
+            one = jnp.uint32(1)
+            b = jnp.uint32(bit)
+            masks = [((planes[p] >> b) & one) != 0 for p in range(n_planes)]
+            sel = leaves
+            for p in range(n_planes):
+                m = masks[p]
                 sel = [
-                    jnp.where(bitmask, sel[2 * i + 1], sel[2 * i])
+                    jnp.where(m, sel[2 * i + 1], sel[2 * i])
                     for i in range(len(sel) // 2)
                 ]
-                level <<= 1
             out_ref[0, bit] = sel[0]
+            return carry
+
+        jax.lax.fori_loop(0, WORD_BITS, per_bit, 0)
 
     return kernel
 
@@ -187,17 +204,21 @@ def planes_probs(
 ) -> jax.Array:  # [B, 32, S, 128] f32, bit-major
     """probs[b, bit, s, lane] = table[b, count of tip (s*128+lane)*32+bit].
 
-    Out-of-table counts (garbage tile padding) produce 0.0. Use
-    :func:`probs_to_tip_order` to recover the flat [B, N] layout.
+    Tile-padding garbage decodes to arbitrary (finite) table entries; use
+    :func:`probs_to_tip_order` to recover the flat [B, N] layout — nothing
+    below `num_tips` ever reads the garbage tail.
     """
     B, n_planes, S, lanes = planes.shape
     s_max = table.shape[1]
-    assert s_max % LO == 0
-    n_hi = s_max // LO
-    st = min(S, 256)
+    n_vals = 1 << n_planes
+    if s_max < n_vals:
+        table = jnp.pad(table, ((0, 0), (0, n_vals - s_max)))
+    else:
+        table = table[:, :n_vals]
+    st = min(S, 64)
     n_t = pl.cdiv(S, st)
     return pl.pallas_call(
-        _probs_kernel(n_planes, n_hi, S, st),
+        _probs_kernel(n_planes, S, st),
         grid=(B, n_t),
         in_specs=[
             pl.BlockSpec(
@@ -206,9 +227,9 @@ def planes_probs(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, n_hi, LO),
+                (1, 1, n_vals),
                 lambda b, t: (b, 0, 0),
-                memory_space=pltpu.VMEM,
+                memory_space=pltpu.SMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
@@ -217,8 +238,35 @@ def planes_probs(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((B, WORD_BITS, S, lanes), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
-    )(planes, table.reshape(B, n_hi, LO))
+    )(planes, table.reshape(B, 1, n_vals))
+
+
+@jax.jit
+def zero_tips_in_planes(planes: jax.Array, ids: jax.Array) -> jax.Array:
+    """Clear the counter bits of the given tips (per query).
+
+    `ids` is [B, E] int32 tip ids, -1-padded. The TPU dual of the
+    reference's `--skip-exact-matches` count zeroing (src/raxtax.rs:65-68):
+    a cleared bit in every plane makes the decoded count 0.
+    """
+    B, n_planes, S, lanes = planes.shape
+    W = S * lanes
+    word = ids // WORD_BITS  # -1 -> negative -> dropped by the scatter
+    bit = (ids % WORD_BITS).astype(jnp.uint32)
+    rowid = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], ids.shape
+    )
+    contrib = jnp.where(ids >= 0, jnp.uint32(1) << bit, jnp.uint32(0))
+    mask = (
+        jnp.zeros((B, W), jnp.uint32)
+        .at[rowid, word]
+        .add(contrib, mode="drop")  # tip ids are unique, so add == or
+    )
+    return planes & ~mask.reshape(B, 1, S, lanes)
 
 
 def probs_to_tip_order(probs_bitmajor: jax.Array, num_tips: int) -> jax.Array:
@@ -253,10 +301,13 @@ def planes_high_counts(
         planes_t = [planes_ref[0, p] for p in range(n_planes)]
         row = jax.lax.broadcasted_iota(jnp.int32, (st, 128), 0)
         valid = (t * st + row) < s_total_const
-        for bit in range(WORD_BITS):
+
+        def per_bit(bit, carry):
             c = _decode_bit(planes_t, bit, n_planes)
-            c = jnp.where(valid & (c > 15), c, 0)
-            out_ref[0, bit] = c
+            out_ref[0, bit] = jnp.where(valid & (c > 15), c, 0)
+            return carry
+
+        jax.lax.fori_loop(0, WORD_BITS, per_bit, 0)
 
     s_total_const = S
     return pl.pallas_call(
@@ -275,5 +326,8 @@ def planes_high_counts(
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((B, WORD_BITS, S, lanes), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(planes)

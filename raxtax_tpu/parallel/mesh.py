@@ -117,6 +117,19 @@ class ShardedPipeline:
                 km, NamedSharding(mesh, P(None, "model"))
             )
             n_padded = km.shape[1] * 32
+        elif backend == "stream":
+            from ..ops.intersect_pallas import LANE
+            from ..ops.intersect_stream import ROW_BLOCK
+
+            # columns sharded like pallas (each shard streams its own ref
+            # stripe); rows padded to a ROW_BLOCK multiple with zero rows
+            # (pair-padding scatter no-ops)
+            km = pad_to_multiple(db.kmer_major, model * LANE * 8, axis=1)
+            km = pad_to_multiple(km, ROW_BLOCK, axis=0)
+            kmer_bits = jax.device_put(
+                km, NamedSharding(mesh, P(None, "model"))
+            )
+            n_padded = km.shape[1] * 32
         else:
             ref = pad_to_multiple(db.ref_major, model, axis=0)
             ref_bits = jax.device_put(
@@ -178,38 +191,102 @@ class ShardedPipeline:
         self, kmer_idx, kmer_bits, exact_ids, s_max: int, n_high: int,
         interpret: bool,
     ):
-        from ..ops.intersect_pallas import LANE, _hs_planes, _planes_to_counts
+        from ..ops.intersect_pallas import LANE, _hs_planes
+        from ..ops.planes import planes_histogram, zero_tips_in_planes
 
         n_local = self.n_padded // self.mesh.shape["model"]
 
         def stage(kidx, km_l, ids):
             # local gather of this shard's postings columns + CSA fold:
-            # each shard computes intersection counts for its own block of
-            # references — no cross-shard traffic until the psum'ed histogram
+            # each shard holds the counter PLANES for its own block of
+            # references — the dense count matrix never exists; no
+            # cross-shard traffic until the psum'ed histogram
             rows = km_l[kidx.reshape(-1)]  # [B_l*K, Nw_l]
             rows = rows.reshape(rows.shape[0], -1, LANE)
             planes = _hs_planes(
                 rows, batch=kidx.shape[0], n_high=n_high, interpret=interpret
             )
-            counts = _planes_to_counts(planes, n_local)  # [B_l, n_local]
             lo = jax.lax.axis_index("model") * n_local
-            ref_idx = lo + jnp.arange(n_local, dtype=jnp.int32)
-            hit = (ref_idx[None, None, :] == ids[:, :, None]).any(axis=1)
-            counts = jnp.where(hit, 0.0, counts)
-            hist = jax.lax.psum(
-                intersection_histogram(counts, s_max), "model"
+            local_ids = jnp.where(
+                (ids >= lo) & (ids < lo + n_local), ids - lo, -1
             )
-            return counts, hist
+            planes = zero_tips_in_planes(planes, local_ids)
+            # per-shard padding correction happens on host (hist[0] -=
+            # n_padded - num_tips), so declare all covered tips real here
+            hist = jax.lax.psum(
+                planes_histogram(
+                    planes, s_max, n_local, interpret=interpret
+                ),
+                "model",
+            )
+            return planes, hist
 
         return jax.shard_map(
             stage,
             mesh=self.mesh,
             in_specs=(P("data", None), P(None, "model"), P("data", None)),
-            out_specs=(P("data", "model"), P("data", None)),
+            out_specs=(P("data", None, "model", None), P("data", None)),
             # pallas_call's out_shape has no varying-axes annotation; the
             # explicit psum above is the only collective in this stage
             check_vma=False,
         )(kmer_idx, kmer_bits, exact_ids)
+
+    @partial(
+        jax.jit, static_argnames=("self", "s_max", "n_planes", "interpret")
+    )
+    def _counts_hist_stream(
+        self, pair_q, pair_row, block_ptr, kmer_bits, exact_ids, s_max: int,
+        n_planes: int, interpret: bool,
+    ):
+        from ..ops.intersect_pallas import LANE
+        from ..ops.intersect_stream import (
+            _stream_planes,
+            max_stream_batch,
+            pick_tiles,
+        )
+        from ..ops.planes import planes_histogram, zero_tips_in_planes
+
+        n_local = self.n_padded // self.mesh.shape["model"]
+        b_global = exact_ids.shape[0]
+        b_l = b_global // self.mesh.shape["data"]
+        assert b_l <= max_stream_batch(n_planes), (
+            "stream batch exceeds VMEM; shrink --batch-size"
+        )
+
+        def stage(pq, pr, bp, km_l, ids):
+            pq, pr, bp = pq[0], pr[0], bp[0]  # [1, m] data-shard block
+            km3 = km_l.reshape(km_l.shape[0], -1, LANE)
+            n_tiles = pick_tiles(b_l, n_planes, km3.shape[1])
+            planes = _stream_planes(
+                pq, pr, bp, km3, batch=b_l, n_planes=n_planes,
+                n_tiles=n_tiles, interpret=interpret,
+            )
+            lo = jax.lax.axis_index("model") * n_local
+            local_ids = jnp.where(
+                (ids >= lo) & (ids < lo + n_local), ids - lo, -1
+            )
+            planes = zero_tips_in_planes(planes, local_ids)
+            hist = jax.lax.psum(
+                planes_histogram(
+                    planes, s_max, n_local, interpret=interpret
+                ),
+                "model",
+            )
+            return planes, hist
+
+        return jax.shard_map(
+            stage,
+            mesh=self.mesh,
+            in_specs=(
+                P("data", None),
+                P("data", None),
+                P("data", None),
+                P(None, "model"),
+                P("data", None),
+            ),
+            out_specs=(P("data", None, "model", None), P("data", None)),
+            check_vma=False,
+        )(pair_q, pair_row, block_ptr, kmer_bits, exact_ids)
 
     def counts_and_hist(
         self,
@@ -227,15 +304,64 @@ class ShardedPipeline:
         """
         data = NamedSharding(self.mesh, P("data", None))
         ids = jax.device_put(exact_ids, data)
+        # interpret mode follows the MESH devices (which may be the
+        # virtual CPU backend even when the default platform is a chip)
+        interpret = self.mesh.devices.flat[0].platform != "tpu"
         if self.backend == "pallas":
             k_pad = kmer_idx.shape[1]
             n_high = max(int(np.ceil(np.log2(k_pad + 1))) - 4, 1)
-            # interpret mode follows the MESH devices (which may be the
-            # virtual CPU backend even when the default platform is a chip)
-            interpret = self.mesh.devices.flat[0].platform != "tpu"
             kidx = jax.device_put(kmer_idx, data)
             return self._counts_hist_pallas(
                 kidx, self.kmer_bits, ids, s_max, n_high, interpret
+            )
+        if self.backend == "stream":
+            from ..ops.intersect_stream import build_pairs
+
+            k_pad = kmer_idx.shape[1]
+            n_planes = max(int(np.ceil(np.log2(k_pad + 1))), 1)
+            d = self.mesh.shape["data"]
+            b_l = kmer_idx.shape[0] // d
+            # per data-shard pair CSR over that shard's query slice; all
+            # shards share the (replicated) padded pair buffers
+            pq_l, pr_l, bp_l = [], [], []
+            n_rows = self.kmer_bits.shape[0]
+            for k in range(d):
+                q, r, bp = build_pairs(
+                    kmer_idx[k * b_l : (k + 1) * b_l], n_rows
+                )
+                pq_l.append(q)
+                pr_l.append(r)
+                bp_l.append(bp)
+            # NOTE: each data shard needs ITS OWN pairs; stack on a leading
+            # axis sharded over 'data' and index inside... simpler: pad all
+            # to one length and shard the leading axis
+            m = max(q.shape[0] for q in pq_l)
+            pq = np.stack([np.pad(q, (0, m - q.shape[0])) for q in pq_l])
+            pr = np.stack(
+                [
+                    np.pad(r, (0, m - r.shape[0]),
+                           constant_values=n_rows - 1)
+                    for r in pr_l
+                ]
+            )
+            # block_ptr must cover the padding rows appended above: extend
+            # the last block's range
+            bp2 = []
+            for k, bp in enumerate(bp_l):
+                b = bp.copy()
+                b[-1] = m
+                bp2.append(b)
+            bp = np.stack(bp2)
+            shard1 = NamedSharding(self.mesh, P("data"))
+            return self._counts_hist_stream(
+                jax.device_put(pq, shard1),
+                jax.device_put(pr, shard1),
+                jax.device_put(bp, shard1),
+                self.kmer_bits,
+                ids,
+                s_max,
+                n_planes,
+                interpret,
             )
         qb = jax.device_put(query_bits, data)
         return self._counts_hist(qb, self.ref_bits, ids, s_max)
@@ -268,11 +394,51 @@ class ShardedPipeline:
             ),
         )(counts, table)
 
+    @partial(jax.jit, static_argnames=("self", "top_k", "interpret"))
+    def _significant_planes(
+        self, planes, table, starts, ends, top_k: int, interpret: bool
+    ):
+        from ..ops.planes import planes_probs, probs_to_tip_order
+
+        n_local = self.n_padded // self.mesh.shape["model"]
+
+        def stage(planes_l, table_l):
+            probs = probs_to_tip_order(
+                planes_probs(planes_l, table_l, interpret=interpret), 0
+            )  # [B_l, n_local]
+            cum0 = jnp.pad(jnp.cumsum(probs, axis=1), ((0, 0), (1, 0)))
+            lo = jax.lax.axis_index("model") * n_local
+            s = jnp.clip(starts - lo, 0, n_local)
+            e = jnp.clip(ends - lo, 0, n_local)
+            conf = jax.lax.psum(cum0[:, e] - cum0[:, s], "model")
+            k = min(top_k, conf.shape[1])
+            vals, idx, n_sig = threshold_set(conf, SIG_THRESHOLD, k)
+            return vals, idx, n_sig, cum0
+
+        return jax.shard_map(
+            stage,
+            mesh=self.mesh,
+            in_specs=(P("data", None, "model", None), P("data", None)),
+            out_specs=(
+                P("data", None),
+                P("data", None),
+                P("data"),
+                P("data", "model"),
+            ),
+            check_vma=False,
+        )(planes, table)
+
     def significant(self, counts, table: np.ndarray, top_k: int):
         """Async: returns device handles (vals, idx, n_sig, cum0)."""
         tbl = jax.device_put(
             table, NamedSharding(self.mesh, P("data", None))
         )
+        if self.backend in ("pallas", "stream"):
+            interpret = self.mesh.devices.flat[0].platform != "tpu"
+            return self._significant_planes(
+                counts, tbl, self.node_starts, self.node_ends, top_k,
+                interpret,
+            )
         return self._significant(
             counts, tbl, self.node_starts, self.node_ends, top_k
         )
@@ -297,7 +463,7 @@ class ShardedPipeline:
             lo = jax.lax.axis_index("model") * n_local
             s = jnp.clip(rs - lo, 0, n_local)
             e = jnp.clip(re - lo, 0, n_local)
-            finals = max_descent(
+            finals, margins = max_descent(
                 cum0_l,
                 lb,
                 start_arr,
@@ -309,28 +475,31 @@ class ShardedPipeline:
                 psum_axis="model",
                 vary_axes=("data",),
             )
-            return jax.lax.psum(jnp.where(owned, finals, 0), "data")
+            return (
+                jax.lax.psum(jnp.where(owned, finals, 0), "data"),
+                jax.lax.pmin(jnp.where(owned, margins, jnp.inf), "data"),
+            )
 
         return jax.shard_map(
             stage,
             mesh=self.mesh,
             in_specs=(P("data", "model"), P(), P()),
-            out_specs=P(),
+            out_specs=(P(), P()),
         )(cum0, b_arr, start_arr)
 
     def descend(
         self, cum0, b_arr: np.ndarray, start_arr: np.ndarray
-    ) -> np.ndarray:
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Returns (final node ids [M], min descent margins [M])."""
         repl = NamedSharding(self.mesh, P())
-        return np.asarray(
-            self._descend(
-                cum0,
-                jax.device_put(b_arr, repl),
-                jax.device_put(start_arr, repl),
-                self.dsc_range_start,
-                self.dsc_range_end,
-                self.dsc_child_ptr,
-                self.dsc_child_ids,
-                self.dsc_is_inner,
-            )
+        finals, margins = self._descend(
+            cum0,
+            jax.device_put(b_arr, repl),
+            jax.device_put(start_arr, repl),
+            self.dsc_range_start,
+            self.dsc_range_end,
+            self.dsc_child_ptr,
+            self.dsc_child_ids,
+            self.dsc_is_inner,
         )
+        return np.asarray(finals), np.asarray(margins)

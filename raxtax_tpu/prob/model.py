@@ -124,19 +124,35 @@ def build_k_tables(K: int, T: int | None = None) -> KTables:
 
 
 class KTableCache:
-    """LRU memoization of :func:`build_k_tables` keyed by K."""
+    """LRU memoization of :func:`build_k_tables` keyed by K, bounded by
+    BYTES (an entry is ~16K^2 bytes — 5.8 MB at K=600 — so an entry-count
+    bound could balloon to GBs on a long-tailed K distribution)."""
 
-    def __init__(self, max_entries: int = 512):
+    def __init__(self, max_bytes: int = 1 << 30):
         self._cache: dict[int, KTables] = {}
-        self._max = max_entries
+        self._max_bytes = max_bytes
+        self._bytes = 0
+
+    @staticmethod
+    def _entry_bytes(t: KTables) -> int:
+        return (
+            t.pmf_ln.nbytes
+            + t.cmf_ln.nbytes
+            + t.ratio.nbytes
+            + t.cmf_safe.nbytes
+            + t.full_match_probs.nbytes
+        )
 
     def get(self, K: int) -> KTables:
         t = self._cache.get(K)
         if t is None:
-            if len(self._cache) >= self._max:
-                self._cache.pop(next(iter(self._cache)))
             t = build_k_tables(K)
+            sz = self._entry_bytes(t)
+            while self._cache and self._bytes + sz > self._max_bytes:
+                oldest = next(iter(self._cache))  # insertion-ordered LRU
+                self._bytes -= self._entry_bytes(self._cache.pop(oldest))
             self._cache[K] = t
+            self._bytes += sz
         else:
             # refresh LRU position
             self._cache.pop(K)

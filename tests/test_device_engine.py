@@ -216,3 +216,33 @@ def test_mixed_length_queries(small_world):
     got = dev.classify_batch(queries)
     for (label, seq), qr in zip(queries, got):
         assert render(qr) == render(oracle.classify(label, seq)), label
+
+
+def test_forced_signal_replay_matches_oracle(small_world):
+    """The sequential-order global-signal replay (boundary-risk path) is
+    byte-identical to the oracle's sequential accumulation for EVERY query
+    when forced on (VERDICT round-1 item 5)."""
+    db, queries = small_world
+    oracle = OracleClassifier(db)
+    dev = DeviceClassifier.create(db, backend="pallas", batch_size=8)
+    dev._force_signal_replay = True
+    for start in range(0, len(queries), 8):
+        chunk = queries[start : start + 8]
+        got = dev.classify_batch(chunk)
+        for (label, seq), qr in zip(chunk, got):
+            assert render(qr) == render(oracle.classify(label, seq)), label
+
+
+def test_forced_signal_replay_with_prefetch(small_world):
+    """Same, through the compressed-wire prefetch decode path."""
+    db, queries = small_world
+    oracle = OracleClassifier(db)
+    dev = DeviceClassifier.create(db, backend="pallas", batch_size=8)
+    dev._force_signal_replay = True
+    dev._fb_dense = True  # forces the planes-wire prefetch each batch
+    for start in range(0, len(queries), 8):
+        chunk = queries[start : start + 8]
+        dev._fb_dense = True
+        got = dev.classify_batch(chunk)
+        for (label, seq), qr in zip(chunk, got):
+            assert render(qr) == render(oracle.classify(label, seq)), label

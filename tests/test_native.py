@@ -60,6 +60,38 @@ def test_bit_matrices_match_numpy(lib, seqs):
     )
 
 
+def test_bit_matrices_threaded_identical(lib, seqs):
+    # 5 threads on 66 sequences: uneven split + a partial 32-block per
+    # worker; output must be bit-identical to the single-thread build
+    r1, k1 = native.build_bit_matrices(seqs, threads=1)
+    r5, k5 = native.build_bit_matrices(seqs, threads=5)
+    np.testing.assert_array_equal(r1, r5)
+    np.testing.assert_array_equal(k1, k5)
+
+
+def test_tip_cumsum_planes4_matches_numpy(lib):
+    rng = np.random.default_rng(11)
+    num_tips = 5000
+    n_pad = 1 * 128 * 32  # S=1 -> 4096... use S=2
+    S = 2
+    n_pad = S * 128 * 32
+    counts = np.zeros(n_pad, np.int64)
+    counts[:num_tips] = rng.integers(0, 40, size=num_tips)
+    from tests.test_planes import encode_planes
+
+    planes = encode_planes(counts[None, :], n_planes=6)[0]
+    lo4 = planes[:4]
+    over = np.nonzero(counts > 15)[0]
+    over_idx = over.astype(np.int32)
+    over_val = counts[over].astype(np.uint16)
+    table = rng.random(64)
+    cum = native.tip_cumsum_planes4(
+        lo4, over_idx, over_val, len(over), table, num_tips
+    )
+    expect = np.concatenate(([0.0], np.cumsum(table[counts[:num_tips]])))
+    np.testing.assert_array_equal(cum, expect)
+
+
 def test_pack_query_rows_matches_numpy(lib, seqs):
     rows = native.pack_query_rows(seqs)
     kmer_sets = [_numpy_distinct(s) for s in seqs]

@@ -80,13 +80,18 @@ def test_full_match_fast_path():
 
 
 def test_memoization_shares_tables():
-    cache = KTableCache(max_entries=4)
+    cache = KTableCache(max_bytes=200_000)
     t1 = cache.get(33)
     t2 = cache.get(33)
     assert t1 is t2
     for k in range(40, 46):
         cache.get(k)
-    assert len(cache._cache) <= 4
+    # byte-bounded LRU: total stays under the cap, oldest entries evicted
+    assert cache._bytes <= 200_000
+    assert sum(
+        cache._entry_bytes(t) for t in cache._cache.values()
+    ) == cache._bytes
+    assert 33 not in cache._cache
 
 
 def test_k_zero_uniform():
