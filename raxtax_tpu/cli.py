@@ -112,6 +112,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "workloads; exact ties can resolve differently)",
     )
     p.add_argument(
+        "--debug-checks", action="store_true",
+        help="Validate device-stage invariants every batch (histogram "
+        "mass, k-mer bounds, confidence ranges); mirrors the reference's "
+        "debug asserts. Off by default: zero overhead",
+    )
+    p.add_argument(
         "--trace", type=Path, default=None, metavar="DIR",
         help="Write a jax.profiler trace of the classification phase to DIR "
         "(view with TensorBoard / Perfetto)",
@@ -124,6 +130,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--num-processes", type=int, default=0)
     p.add_argument("--process-id", type=int, default=-1)
+    p.add_argument(
+        "--global-mesh", action="store_true",
+        help="Span one ('data','model') mesh across every process's "
+        "devices instead of independent per-host meshes: the database is "
+        "model-sharded across hosts (for DBs larger than one host's HBM); "
+        "all hosts feed identical batches, host 0 writes the output",
+    )
     return p
 
 
@@ -163,7 +176,13 @@ def main(argv: list[str] | None = None) -> int:
         )
     from .parallel.multihost import consolidate_artifacts, shard_suffix
 
-    args._shard_suffix = shard_suffix(proc_idx, proc_count)
+    # global-mesh runs: one logical output, owned by host 0; other hosts
+    # participate in device collectives but write nothing
+    global_mesh = args.global_mesh and proc_count > 1
+    args._read_only_output = global_mesh and proc_idx > 0
+    args._shard_suffix = (
+        "" if global_mesh else shard_suffix(proc_idx, proc_count)
+    )
 
     # Resuming across a different process count: fold any stale shard
     # artifacts (out/tsv/ckp/log/json) into the merged single-file set
@@ -210,7 +229,7 @@ def main(argv: list[str] | None = None) -> int:
             report_error(f"Failed to parse {db_path}", e)
             return errors.NOINPUT
 
-        if parsed_from_fasta and not args.skip_db:
+        if parsed_from_fasta and not args.skip_db and not args._read_only_output:
             bin_path = (Path(args.prefix) / db_path.name).with_suffix(".bin.npz")
             if bin_path.is_file() and not args.redo:
                 report_error(
@@ -258,7 +277,7 @@ def main(argv: list[str] | None = None) -> int:
 
         from .engine.classify import run_queries
 
-        if proc_count > 1:
+        if proc_count > 1 and not global_mesh:
             from .parallel.multihost import host_query_slice
 
             lo, hi = host_query_slice(len(queries), proc_idx, proc_count)
@@ -266,6 +285,12 @@ def main(argv: list[str] | None = None) -> int:
             queries = [
                 (l, s) for l, s in queries[lo:hi] if l not in done
             ]
+        elif global_mesh:
+            # every host feeds the SAME global batches (queries are
+            # data-sharded on device, the database model-sharded across
+            # hosts); the processed baseline is host 0's checkpoint
+            done = checkpoint.processed_queries
+            queries = [(l, s) for l, s in queries if l not in done]
 
         writer = ResultWriter(writers)
         try:

@@ -39,12 +39,18 @@ def make_classifier(db: Database, args):
 
     mesh_spec = getattr(args, "mesh", "")
     mesh = None
-    # Multi-process runs use independent per-host meshes: each process
-    # classifies its own query slice on its own local devices (the
+    # Multi-process runs default to independent per-host meshes: each
+    # process classifies its own query slice on its own local devices (the
     # analysis is embarrassingly parallel, reference README.md:161), with
     # jax.distributed providing rendezvous and the output-merge barrier.
+    # --global-mesh instead spans ONE mesh across every process's devices
+    # (cross-host model sharding of a single database, SURVEY §7 M5): all
+    # hosts feed identical global batches and host 0 writes the output.
+    global_mesh = getattr(args, "global_mesh", False)
     local = (
-        jax.local_devices() if jax.process_count() > 1 else jax.devices()
+        jax.local_devices()
+        if jax.process_count() > 1 and not global_mesh
+        else jax.devices()
     )
     if mesh_spec or len(local) > 1:
         from ..parallel.mesh import make_mesh
@@ -59,6 +65,7 @@ def make_classifier(db: Database, args):
         batch_size=getattr(args, "batch_size", 0) or None,
         mesh=mesh,
         descent=getattr(args, "descent", "exact"),
+        debug_checks=getattr(args, "debug_checks", False),
     )
 
 

@@ -38,6 +38,14 @@ from ..utils.encoding import round_half_away, sequence_to_kmers
 log = logging.getLogger("raxtax")
 
 TOP_K = 128  #: initial significance-compaction width; widened adaptively
+#: Half-cent rounding-risk margin (in hundredths-of-confidence fraction
+#: units) for device-computed double-f32 confidences: host recombination
+#: float64(hi) + float64(lo) is within ~4e-9 of the reference's exact f64
+#: value single-device (scan error only), ~1e-6 under a mesh (the
+#: cross-shard psum of the hi plane rounds in plain f32). Values inside
+#: the band replay on host from the exact count row.
+CONF_RISK_MARGIN_SINGLE = 1e-6
+CONF_RISK_MARGIN_MESH = 1e-4
 
 #: The engine computes the global signal from the intersection-size
 #: HISTOGRAM (per-bucket grouping); the reference accumulates sequentially
@@ -172,8 +180,15 @@ class DeviceClassifier:
     _fb_dense: bool = field(default=False, repr=False)
     #: queries whose descents were replayed on host last batch
     _replayed_queries: set = field(default_factory=set, repr=False)
+    #: sticky significance-compaction width (grows on overflow)
+    _top_k: int = field(default=TOP_K, repr=False)
     #: run Pallas kernels in interpreter mode (non-TPU devices)
     _interpret: bool = field(default=False, repr=False)
+    #: --debug-checks: validate device-stage invariants on the (small)
+    #: pulled artifacts — mirrors the reference's asserts (src/prob.rs:98,
+    #: src/raxtax.rs:56,72) plus kernel-integrity checks. Off by default:
+    #: zero overhead.
+    debug_checks: bool = field(default=False)
 
     @classmethod
     def create(
@@ -185,6 +200,7 @@ class DeviceClassifier:
         batch_size: int | None = None,
         mesh=None,
         descent: str = "exact",
+        debug_checks: bool = False,
     ) -> "DeviceClassifier":
         import jax.numpy as jnp
 
@@ -211,6 +227,7 @@ class DeviceClassifier:
             backend=backend,
             batch_size=batch_size,
             descent=descent,
+            debug_checks=debug_checks,
         )
         if mesh is not None:
             from ..parallel.mesh import ShardedPipeline
@@ -379,10 +396,7 @@ class DeviceClassifier:
             u16_needed = todo
 
         if u16_needed:
-            if self.backend in ("pallas", "stream"):  # counts are planes
-                rows = gather_plane_rows(counts, u16_needed)[:, :num_tips]
-            else:
-                rows = gather_count_rows(counts, u16_needed)[:, :num_tips]
+            rows = self._gather_u16_rows(counts, u16_needed)
             for row, b in zip(rows, u16_needed):
                 cum = native.tip_cumsum_u16(row, tables64[b], num_tips)
                 if cum is None:
@@ -589,6 +603,22 @@ class DeviceClassifier:
         if self.pipeline is not None:
             # padded reference rows count as intersection size 0
             hist[:, 0] -= self.pipeline.n_padded - self.db.num_tips
+        if self.debug_checks:
+            # device-stage integrity: every reference lands in exactly one
+            # histogram bucket, and no intersection can exceed the query's
+            # distinct-k-mer count (src/raxtax.rs:56 bound)
+            sums = hist[:n_real].sum(axis=1)
+            if not (sums == self.db.num_tips).all():
+                raise AssertionError(
+                    "debug-checks: histogram mass mismatch "
+                    f"(got {sums.tolist()[:4]}..., want {self.db.num_tips})"
+                )
+            for b in range(n_real):
+                if hist[b, ks[b] + 1 :].any():
+                    raise AssertionError(
+                        "debug-checks: intersection size exceeds the "
+                        f"query's {ks[b]} distinct k-mers (query {b})"
+                    )
 
         # host f64 stage: per-size probabilities + global signal
         table = np.zeros((B, s_max), dtype=np.float32)
@@ -609,7 +639,9 @@ class DeviceClassifier:
             ):
                 signal_risky.append(b)
 
-        vals, idx, n_sig, cum0 = self._significant(counts, table, TOP_K)
+        vals, vals_lo, idx, n_sig, cum0 = self._significant(
+            counts, table, self._top_k
+        )
         rows_pre = None
         if self.descent == "exact" and self._fb_dense:
             if self._planes_mode:
@@ -630,13 +662,23 @@ class DeviceClassifier:
                     part.copy_to_host_async()
         # start the tunnel transfers now; finalize_batch consumes them after
         # the next batch's submit, so wire time hides behind host work
-        for h in (vals, idx, n_sig):
+        for h in (vals, vals_lo, idx, n_sig):
             h.copy_to_host_async()
         return (
             labels, seqs, exact, n_real, counts, cum0,
-            tables64, global_signals, vals, idx, n_sig, rows_pre, table,
-            signal_risky,
+            tables64, global_signals, vals, vals_lo, idx, n_sig, rows_pre,
+            table, signal_risky,
         )
+
+    def _gather_u16_rows(self, counts, queries: list[int]) -> np.ndarray:
+        """u16 count rows of the given queries, via the representation- and
+        mesh-appropriate gather (multiprocess-safe under a pipeline)."""
+        num_tips = self.db.num_tips
+        if self.pipeline is not None:
+            return self.pipeline.gather_rows(counts, queries)[:, :num_tips]
+        if self.backend in ("pallas", "stream"):  # counts are planes
+            return gather_plane_rows(counts, queries)[:, :num_tips]
+        return gather_count_rows(counts, queries)[:, :num_tips]
 
     def _exact_row(self, b: int, counts, rows_pre) -> np.ndarray:
         """One query's exact u16 count row (wire decompress or gather)."""
@@ -659,17 +701,15 @@ class DeviceClassifier:
                 )
             if not over:
                 return row[0]
-        if self.backend in ("pallas", "stream"):
-            return gather_plane_rows(counts, [b])[0, :num_tips]
-        return gather_count_rows(counts, [b])[0, :num_tips]
+        return self._gather_u16_rows(counts, [b])[0]
 
     def finalize_batch(self, state) -> list[QueryResult]:
         if len(state) == 8:  # phase-A state: run phase B inline
             state = self.prepare_batch(state)
         (
             labels, seqs, exact, n_real, counts, cum0,
-            tables64, global_signals, vals, idx, n_sig, rows_pre, table,
-            signal_risky,
+            tables64, global_signals, vals, vals_lo, idx, n_sig, rows_pre,
+            table, signal_risky,
         ) = state
         # boundary-risk replay of the global signal in the reference's
         # sequential tip order (src/lineage.rs:86-90)
@@ -684,20 +724,41 @@ class DeviceClassifier:
                 )
         tax = self.db.taxonomy
         vals = np.asarray(vals)
+        vals_lo = np.asarray(vals_lo)
         idx = np.asarray(idx)
         n_sig = np.asarray(n_sig)
         max_sig = int(n_sig[:n_real].max()) if n_real else 0
         while max_sig > vals.shape[1]:
             # adaptive widening: the initial compaction width was too small
             # for this batch's diffuse match profiles; re-run at the next
-            # power of two (compiles once per width, cached)
+            # power of two. The width is sticky (self._top_k), so a steady
+            # workload widens once and then compacts in a single pass.
             k = 1 << (max_sig - 1).bit_length()
             log.debug("significance overflow: widening top-k to %d", k)
-            vals, idx, n_sig, cum0 = self._significant(counts, table, k)
+            self._top_k = k
+            vals, vals_lo, idx, n_sig, cum0 = self._significant(
+                counts, table, k
+            )
             vals = np.asarray(vals)
+            vals_lo = np.asarray(vals_lo)
             idx = np.asarray(idx)
             n_sig = np.asarray(n_sig)
             max_sig = int(n_sig[:n_real].max())
+        # double-f32 -> f64 recombination: within ~4e-9 of the reference's
+        # exact sequential-f64 confidences (see CONF_RISK_MARGIN_*)
+        conf64 = vals.astype(np.float64) + vals_lo.astype(np.float64)
+
+        if self.debug_checks and n_real:
+            # confidences are range sums of normalized probabilities: they
+            # must land in [0, 1] up to f32 cumsum slack (the reference
+            # asserts its normalization at src/prob.rs:98)
+            m = np.arange(vals.shape[1])[None, :] < n_sig[:n_real, None]
+            v = vals[:n_real][m]
+            if v.size and (v.min() < -1e-3 or v.max() > 1.0 + 1e-3):
+                raise AssertionError(
+                    "debug-checks: node confidence outside [0, 1] "
+                    f"(min {v.min()}, max {v.max()})"
+                )
 
         # collect fallback descent sites across the batch
         eval_ids = tax.eval_ids
@@ -705,15 +766,19 @@ class DeviceClassifier:
         sites: list[tuple[int, int]] = []  # (query, eval_pos)
         cum_cache: dict[int, np.ndarray] = {}
         if self.descent == "exact" and n_real:
-            # Boundary-risk correction: device confidences are f32; a value
-            # within f32 error of a half-cent rounding boundary (x.xx5, incl.
-            # the 0.005 significance cutoff) could round differently than
-            # the reference's f64 prefix sums. Detect risky queries from the
-            # f32 values (error bound ~log2(N)·2^-24·100 per cent-scaled
-            # value, well under the 1e-3 margin for XLA's log-depth scans)
-            # and recompute their significant confidences exactly.
-            scaled = vals[:n_real].astype(np.float64) * 100.0
-            near = np.abs((scaled % 1.0) - 0.5) < 1e-3
+            # Boundary-risk correction: device confidences are double-f32;
+            # a value within the recombination error of a half-cent
+            # rounding boundary (x.xx5, incl. the 0.005 significance
+            # cutoff) could round differently than the reference's f64
+            # prefix sums. Detect those queries and recompute their
+            # significant confidences exactly on host.
+            margin = (
+                CONF_RISK_MARGIN_SINGLE
+                if self.pipeline is None
+                else CONF_RISK_MARGIN_MESH
+            )
+            scaled = conf64[:n_real] * 100.0
+            near = np.abs((scaled % 1.0) - 0.5) < margin
             valid = (
                 np.arange(vals.shape[1])[None, :] < n_sig[:n_real, None]
             )
@@ -726,7 +791,8 @@ class DeviceClassifier:
         for b in range(n_real):
             m = int(n_sig[b])
             sig = {
-                int(eval_ids[idx[b, j]]): float(vals[b, j]) for j in range(m)
+                int(eval_ids[idx[b, j]]): float(conf64[b, j])
+                for j in range(m)
             }
             if b in cum_cache:
                 cum = cum_cache[b]

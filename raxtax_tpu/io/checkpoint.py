@@ -58,6 +58,9 @@ class Checkpoint:
     skip_exact_matches: bool
     tsv: bool
     processed_queries: set[str] = field(default_factory=set)
+    #: non-writing participant of a global-mesh run (host != 0): reads the
+    #: coordinator host's checkpoint, never persists or deletes anything
+    read_only: bool = False
 
     @classmethod
     def new(cls, ckp_path: Path, args, progress_path: Path | None = None) -> "Checkpoint":
@@ -74,6 +77,8 @@ class Checkpoint:
 
     def save(self) -> None:
         """Atomic write via tmp+rename (src/io.rs:72-78)."""
+        if self.read_only:
+            return
         tmp = self.checkpoint_file + ".tmp"
         with open(tmp, "w") as f:
             json.dump(
@@ -119,6 +124,8 @@ class Checkpoint:
 
     def cleanup(self) -> None:
         """Remove checkpoint artifacts and the binary DB (src/io.rs:80-89)."""
+        if self.read_only:
+            return
         for p in (self.checkpoint_file, self.progress_file, self.db_fingerprint.path):
             os.remove(p)
 

@@ -46,7 +46,37 @@ def _open(path: Path, append: bool) -> IO[str]:
 def get_output(args) -> tuple[OutputWriters, Checkpoint]:
     """Create/validate the output directory, writers and checkpoint
     (reference: src/io.rs:202-263)."""
+    import os
+
     prefix = Path(args.prefix)
+    if getattr(args, "_read_only_output", False):
+        # global-mesh participant (host != 0): recover the coordinator's
+        # processed baseline, write nothing (host 0 owns every artifact)
+        ckp_path = prefix / "raxtax.json"
+        checkpoint = None
+        if not args.redo and ckp_path.is_file():
+            try:
+                ckp = Checkpoint.load(ckp_path)
+                if ckp.valid_for(args):
+                    with open(ckp.progress_file) as f:
+                        ckp.processed_queries = {
+                            l.rstrip("\n") for l in f if l.strip()
+                        }
+                    checkpoint = ckp
+            except (OSError, ValueError, KeyError) as e:
+                log.error("Failed to read coordinator checkpoint!: %s", e)
+        if checkpoint is None:
+            checkpoint = Checkpoint.new(
+                ckp_path, args, prefix / "raxtax.ckp"
+            )
+        checkpoint.read_only = True
+        writers = OutputWriters(
+            primary=open(os.devnull, "w"),
+            tsv=open(os.devnull, "w") if args.tsv else None,
+            log=open(os.devnull, "w"),
+            progress=open(os.devnull, "w"),
+        )
+        return writers, checkpoint
     # multi-host runs write per-host shards ('' for single-process runs;
     # see parallel/multihost.py)
     shard = getattr(args, "_shard_suffix", "")

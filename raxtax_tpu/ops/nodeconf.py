@@ -86,6 +86,58 @@ def tip_prob_cumsum(counts: jax.Array, table: jax.Array) -> jax.Array:
     return jnp.pad(jnp.cumsum(probs, axis=1), ((0, 0), (1, 0)))
 
 
+# -- compensated double-f32 arithmetic ---------------------------------
+#
+# TPU hardware is f32; the reference's confidences are f64 (sequential
+# prefix sums, src/lineage.rs:62-67). A plain f32 cumsum is ~5e-6 off,
+# which put ~1 in 4 queries inside the half-cent rounding-risk band and
+# forced a count-row pull for each. Double-f32 (TwoSum-compensated)
+# arithmetic carries ~48 bits of mantissa: the device-computed confidence,
+# recombined on host as float64(hi) + float64(lo), lands within ~4e-9 of
+# the exact f64 value — the risk band shrinks by three orders of
+# magnitude. Cost: one extra f32 plane through the scan.
+
+
+def _two_sum(a, b):
+    """Knuth TwoSum: s + err == a + b exactly (f32)."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _dd_add(x, y):
+    """(hi, lo) + (hi, lo) double-f32 addition."""
+    s, e = _two_sum(x[0], y[0])
+    return _two_sum(s, e + x[1] + y[1])
+
+
+def _dd_sub(x_hi, x_lo, y_hi, y_lo):
+    """(hi, lo) - (hi, lo) double-f32 subtraction."""
+    s, e = _two_sum(x_hi, -y_hi)
+    return _two_sum(s, e + x_lo - y_lo)
+
+
+def tip_prob_cumsum_dd(probs: jax.Array):
+    """Double-f32 zero-prefixed cumsum: (cum_hi, cum_lo), each [B, N+1].
+
+    `cum_hi` alone is a valid f32 cumsum (used for the descent kernel);
+    hi+lo recombined in f64 tracks the exact prefix sum to ~2^-48.
+    """
+    hi, lo = jax.lax.associative_scan(
+        _dd_add, (probs, jnp.zeros_like(probs)), axis=1
+    )
+    pad = ((0, 0), (1, 0))
+    return jnp.pad(hi, pad), jnp.pad(lo, pad)
+
+
+def node_conf_dd(cum_hi, cum_lo, starts, ends):
+    """Double-f32 node confidences: (conf_hi, conf_lo) [B, J]."""
+    return _dd_sub(
+        cum_hi[:, ends], cum_lo[:, ends], cum_hi[:, starts], cum_lo[:, starts]
+    )
+
+
 def compact_threshold(conf: jax.Array, threshold: float, k: int):
     """Sort-free threshold compaction: (vals [B,k], idx [B,k], n_sig [B]).
 
@@ -117,6 +169,20 @@ def compact_threshold(conf: jax.Array, threshold: float, k: int):
     return vals[:, :k], idx[:, :k], n_sig
 
 
+def _compact_dd(conf_hi, conf_lo, k: int):
+    """Threshold-compact double-f32 confidences.
+
+    Returns (vals_hi [B,k], vals_lo [B,k], idx [B,k], n_sig [B]): the lo
+    plane is gathered at the compaction's index positions so the host can
+    recombine float64(hi) + float64(lo) per significant node.
+    """
+    vals, idx, n_sig = threshold_set(conf_hi, SIG_THRESHOLD, k)
+    vals_lo = jnp.take_along_axis(
+        conf_lo, jnp.clip(idx, 0, conf_lo.shape[1] - 1), axis=1
+    )
+    return vals, vals_lo, idx, n_sig
+
+
 @partial(jax.jit, static_argnames=("top_k", "interpret"))
 def significant_nodes_planes(
     planes: jax.Array,  # [B, P, S, 128] uint32 counter planes
@@ -134,11 +200,11 @@ def significant_nodes_planes(
     probs = probs_to_tip_order(
         planes_probs(planes, table, interpret=interpret), 0
     )
-    cum0 = jnp.pad(jnp.cumsum(probs, axis=1), ((0, 0), (1, 0)))
-    conf = cum0[:, node_ends] - cum0[:, node_starts]  # [B, J]
-    k = min(top_k, conf.shape[1])
-    vals, idx, n_sig = threshold_set(conf, SIG_THRESHOLD, k)
-    return vals, idx, n_sig, cum0
+    cum_hi, cum_lo = tip_prob_cumsum_dd(probs)
+    conf_hi, conf_lo = node_conf_dd(cum_hi, cum_lo, node_starts, node_ends)
+    k = min(top_k, conf_hi.shape[1])
+    vals, vals_lo, idx, n_sig = _compact_dd(conf_hi, conf_lo, k)
+    return vals, vals_lo, idx, n_sig, cum_hi
 
 
 @partial(jax.jit, static_argnames=("top_k",))
@@ -149,18 +215,20 @@ def significant_nodes(
     node_ends: jax.Array,  # [J] int32 eval-node range ends (exclusive)
     top_k: int = 1024,
 ):
-    """Returns (conf_vals [B,k] f32, node_idx [B,k] i32, n_sig [B] i32,
-    cum0 [B,N+1] device handle) — the top-k eval-node confidences above
-    threshold plus the tip-probability cumsum for the fallback descent.
+    """Returns (vals_hi [B,k] f32, vals_lo [B,k] f32, node_idx [B,k] i32,
+    n_sig [B] i32, cum0 [B,N+1] device handle) — the top-k eval-node
+    double-f32 confidences above threshold plus the tip-probability cumsum
+    for the fallback descent.
 
     `node_idx` indexes into the eval-node arrays; entries beyond `n_sig[b]`
     are padding.
     """
-    cum0 = tip_prob_cumsum(counts, table)
-    conf = cum0[:, node_ends] - cum0[:, node_starts]  # [B, J]
-    k = min(top_k, conf.shape[1])
-    vals, idx, n_sig = threshold_set(conf, SIG_THRESHOLD, k)
-    return vals, idx, n_sig, cum0
+    probs = gather_table(counts, table)
+    cum_hi, cum_lo = tip_prob_cumsum_dd(probs)
+    conf_hi, conf_lo = node_conf_dd(cum_hi, cum_lo, node_starts, node_ends)
+    k = min(top_k, conf_hi.shape[1])
+    vals, vals_lo, idx, n_sig = _compact_dd(conf_hi, conf_lo, k)
+    return vals, vals_lo, idx, n_sig, cum_hi
 
 
 #: above this eval-node count, switch from a flat `lax.top_k` (a full sort

@@ -28,10 +28,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.histogram import intersection_histogram
 from ..ops.intersect_xla import intersection_counts_xla
 from ..ops.nodeconf import (
-    SIG_THRESHOLD,
+    _compact_dd,
+    gather_table,
     max_descent,
-    threshold_set,
-    tip_prob_cumsum,
+    node_conf_dd,
+    tip_prob_cumsum_dd,
 )
 
 
@@ -87,6 +88,10 @@ class ShardedPipeline:
     mesh: Mesh
     num_tips: int
     n_padded: int
+    #: mesh spans multiple processes (cross-host model sharding of one
+    #: database, SURVEY §7 M5): host-pulled outputs must be replicated on
+    #: device first, since non-addressable shards cannot be np.asarray'd
+    multiprocess: bool
     backend: str  #: counts kernel: "xla" (bit-matmul) or "pallas" (gather+CSA)
     ref_bits: jax.Array | None  #: [n_padded, 2048] u32, sharded over 'model'
     kmer_bits: jax.Array | None  #: [65537, n_padded/32] u32, cols over 'model'
@@ -143,6 +148,9 @@ class ShardedPipeline:
             mesh=mesh,
             num_tips=db.num_tips,
             n_padded=n_padded,
+            multiprocess=len(
+                {d.process_index for d in mesh.devices.flat}
+            ) > 1,
             backend=backend,
             ref_bits=ref_bits,
             kmer_bits=kmer_bits,
@@ -159,6 +167,18 @@ class ShardedPipeline:
     @property
     def data_size(self) -> int:
         return self.mesh.shape["data"]
+
+    def _replicate(self, x):
+        """all-gather a data-sharded per-batch output when the mesh spans
+        processes, so the host can np.asarray it (small arrays only)."""
+        return (
+            jax.lax.all_gather(x, "data", axis=0, tiled=True)
+            if self.multiprocess
+            else x
+        )
+
+    def _data_spec(self, *rest):
+        return P(*((None,) + rest)) if self.multiprocess else P(*(("data",) + rest))
 
     # -- stage 1: counts + histogram ----------------------------------
 
@@ -177,13 +197,16 @@ class ShardedPipeline:
             hist = jax.lax.psum(
                 intersection_histogram(counts, s_max), "model"
             )
-            return counts, hist
+            return counts, self._replicate(hist)
 
         return jax.shard_map(
             stage,
             mesh=self.mesh,
             in_specs=(P("data", None), P("model", None), P("data", None)),
-            out_specs=(P("data", "model"), P("data", None)),
+            out_specs=(P("data", "model"), self._data_spec(None)),
+            # the tiled all_gather in _replicate() produces data-replicated
+            # values the static VMA check cannot infer
+            check_vma=False,
         )(query_bits, ref_bits, exact_ids)
 
     @partial(jax.jit, static_argnames=("self", "s_max", "n_high", "interpret"))
@@ -219,13 +242,13 @@ class ShardedPipeline:
                 ),
                 "model",
             )
-            return planes, hist
+            return planes, self._replicate(hist)
 
         return jax.shard_map(
             stage,
             mesh=self.mesh,
             in_specs=(P("data", None), P(None, "model"), P("data", None)),
-            out_specs=(P("data", None, "model", None), P("data", None)),
+            out_specs=(P("data", None, "model", None), self._data_spec(None)),
             # pallas_call's out_shape has no varying-axes annotation; the
             # explicit psum above is the only collective in this stage
             check_vma=False,
@@ -272,7 +295,7 @@ class ShardedPipeline:
                 ),
                 "model",
             )
-            return planes, hist
+            return planes, self._replicate(hist)
 
         return jax.shard_map(
             stage,
@@ -284,7 +307,7 @@ class ShardedPipeline:
                 P(None, "model"),
                 P("data", None),
             ),
-            out_specs=(P("data", None, "model", None), P("data", None)),
+            out_specs=(P("data", None, "model", None), self._data_spec(None)),
             check_vma=False,
         )(pair_q, pair_row, block_ptr, kmer_bits, exact_ids)
 
@@ -373,25 +396,38 @@ class ShardedPipeline:
         n_local = self.n_padded // self.mesh.shape["model"]
 
         def stage(counts_l, table_l):
-            cum0 = tip_prob_cumsum(counts_l, table_l)  # [B_l, N_l+1]
+            probs = gather_table(counts_l, table_l)
+            cum_hi, cum_lo = tip_prob_cumsum_dd(probs)  # [B_l, N_l+1]
             lo = jax.lax.axis_index("model") * n_local
             s = jnp.clip(starts - lo, 0, n_local)
             e = jnp.clip(ends - lo, 0, n_local)
-            conf = jax.lax.psum(cum0[:, e] - cum0[:, s], "model")
-            k = min(top_k, conf.shape[1])
-            vals, idx, n_sig = threshold_set(conf, SIG_THRESHOLD, k)
-            return vals, idx, n_sig, cum0
+            ch, cl = node_conf_dd(cum_hi, cum_lo, s, e)
+            # cross-shard merge in plain f32 psum: the hi plane reabsorbs
+            # ~eps-level error, so mesh runs use a wider host risk margin
+            conf_hi = jax.lax.psum(ch, "model")
+            conf_lo = jax.lax.psum(cl, "model")
+            k = min(top_k, conf_hi.shape[1])
+            vals, vals_lo, idx, n_sig = _compact_dd(conf_hi, conf_lo, k)
+            return (
+                self._replicate(vals),
+                self._replicate(vals_lo),
+                self._replicate(idx),
+                self._replicate(n_sig),
+                cum_hi,
+            )
 
         return jax.shard_map(
             stage,
             mesh=self.mesh,
             in_specs=(P("data", "model"), P("data", None)),
             out_specs=(
-                P("data", None),
-                P("data", None),
-                P("data"),
+                self._data_spec(None),
+                self._data_spec(None),
+                self._data_spec(None),
+                self._data_spec(),
                 P("data", "model"),
             ),
+            check_vma=False,
         )(counts, table)
 
     @partial(jax.jit, static_argnames=("self", "top_k", "interpret"))
@@ -406,23 +442,34 @@ class ShardedPipeline:
             probs = probs_to_tip_order(
                 planes_probs(planes_l, table_l, interpret=interpret), 0
             )  # [B_l, n_local]
-            cum0 = jnp.pad(jnp.cumsum(probs, axis=1), ((0, 0), (1, 0)))
+            cum_hi, cum_lo = tip_prob_cumsum_dd(probs)
             lo = jax.lax.axis_index("model") * n_local
             s = jnp.clip(starts - lo, 0, n_local)
             e = jnp.clip(ends - lo, 0, n_local)
-            conf = jax.lax.psum(cum0[:, e] - cum0[:, s], "model")
-            k = min(top_k, conf.shape[1])
-            vals, idx, n_sig = threshold_set(conf, SIG_THRESHOLD, k)
-            return vals, idx, n_sig, cum0
+            ch, cl = node_conf_dd(cum_hi, cum_lo, s, e)
+            # cross-shard merge in plain f32 psum: the hi plane reabsorbs
+            # ~eps-level error, so mesh runs use a wider host risk margin
+            conf_hi = jax.lax.psum(ch, "model")
+            conf_lo = jax.lax.psum(cl, "model")
+            k = min(top_k, conf_hi.shape[1])
+            vals, vals_lo, idx, n_sig = _compact_dd(conf_hi, conf_lo, k)
+            return (
+                self._replicate(vals),
+                self._replicate(vals_lo),
+                self._replicate(idx),
+                self._replicate(n_sig),
+                cum_hi,
+            )
 
         return jax.shard_map(
             stage,
             mesh=self.mesh,
             in_specs=(P("data", None, "model", None), P("data", None)),
             out_specs=(
-                P("data", None),
-                P("data", None),
-                P("data"),
+                self._data_spec(None),
+                self._data_spec(None),
+                self._data_spec(None),
+                self._data_spec(),
                 P("data", "model"),
             ),
             check_vma=False,
@@ -486,6 +533,68 @@ class ShardedPipeline:
             in_specs=(P("data", "model"), P(), P()),
             out_specs=(P(), P()),
         )(cum0, b_arr, start_arr)
+
+    @partial(jax.jit, static_argnames=("self",))
+    def _gather_rows(self, counts, idx):
+        planes_mode = self.backend in ("pallas", "stream")
+        # model-sharded axis: S (dim 2) for planes, N (dim 1) for counts
+        gather_axis = 2 if planes_mode else 1
+
+        def stage(counts_l, idx):
+            # owner-masked local take + psum over 'data' (cf. _descend),
+            # then an all-gather over 'model' so the full rows are
+            # replicated and host-addressable on every process
+            b_local = counts_l.shape[0]
+            d = jax.lax.axis_index("data")
+            local = idx - d * b_local
+            owned = (local >= 0) & (local < b_local)
+            sel = jnp.take(
+                counts_l, jnp.clip(local, 0, b_local - 1), axis=0
+            )
+            shape = (slice(None),) + (None,) * (sel.ndim - 1)
+            sel = jnp.where(owned[shape], sel, 0)
+            sel = jax.lax.psum(sel, "data")
+            return jax.lax.all_gather(
+                sel, "model", axis=gather_axis, tiled=True
+            )
+
+        counts_spec = (
+            P("data", None, "model", None)
+            if planes_mode
+            else P("data", "model")
+        )
+        return jax.shard_map(
+            stage,
+            mesh=self.mesh,
+            in_specs=(counts_spec, P()),
+            out_specs=P(),
+            check_vma=False,
+        )(counts, idx)
+
+    def gather_rows(self, counts, fb_queries: list[int]) -> np.ndarray:
+        """u16 count rows of the selected queries, decoded host-side when
+        the backend keeps counts as planes. Multiprocess-safe."""
+        m = len(fb_queries)
+        m_pad = max(8, 1 << (m - 1).bit_length())
+        idx = np.zeros(m_pad, np.int32)
+        idx[:m] = fb_queries
+        sel = np.asarray(
+            self._gather_rows(
+                counts,
+                jax.device_put(idx, NamedSharding(self.mesh, P())),
+            )
+        )[:m]
+        if self.backend in ("pallas", "stream"):
+            n_planes = sel.shape[1]
+            w = sel.reshape(m, n_planes, -1)
+            bits = np.unpackbits(
+                w.astype("<u4").view(np.uint8), axis=2, bitorder="little"
+            )
+            out = np.zeros((m, bits.shape[2]), np.uint16)
+            for p in range(n_planes):
+                out |= bits[:, p].astype(np.uint16) << p
+            return out
+        return sel.astype(np.uint16)
 
     def descend(
         self, cum0, b_arr: np.ndarray, start_arr: np.ndarray

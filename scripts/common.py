@@ -85,3 +85,64 @@ def raxtax_tpu_cmd(
         "-d", str(db), "-i", str(queries), "-o", str(out_prefix),
         "--redo",
     ] + (extra or [])
+
+
+def find_binary(name: str, env_var: str) -> str | None:
+    """Resolve a comparison binary: $ENV_VAR first, then $PATH."""
+    import os
+    import shutil
+
+    return os.environ.get(env_var) or shutil.which(name)
+
+
+def run_sintax(
+    db_fasta: str | Path,
+    queries: str | Path,
+    out_dir: str | Path,
+    threads: int = 0,
+    usearch: str | None = None,
+) -> tuple[float, float, int] | None:
+    """usearch-SINTAX comparison arm (reference: scripts/common.py:32-40):
+    build the .udb, classify with --sintax, report combined runtime and the
+    max of the two peak RSS values. Returns None when no usearch binary is
+    available (USEARCH env var or $PATH); callers skip the arm."""
+    import os
+
+    usearch = usearch or find_binary("usearch", "USEARCH")
+    if usearch is None:
+        return None
+    threads = threads or (os.cpu_count() or 1)
+    db_path = Path(out_dir) / (Path(db_fasta).stem + ".udb")
+    out_path = Path(out_dir) / "sintax.out"
+    t1, m1, rc1 = run_with_memory_poll(
+        [usearch, "--makeudb_usearch", str(db_fasta), "--output", str(db_path)]
+    )
+    if rc1 != 0:
+        return t1, m1, rc1
+    t2, m2, rc2 = run_with_memory_poll(
+        [usearch, "--sintax", str(queries), "--db", str(db_path),
+         "--tabbedout", str(out_path), "--threads", str(threads)]
+    )
+    db_path.unlink(missing_ok=True)
+    return t1 + t2, max(m1, m2), rc2
+
+
+def run_rust_raxtax(
+    db_fasta: str | Path,
+    queries: str | Path,
+    out_dir: str | Path,
+    threads: int = 0,
+    binary: str | None = None,
+) -> tuple[float, float, int] | None:
+    """Reference Rust raxtax arm, when a binary is available (RAXTAX env
+    var or $PATH) — the BASELINE.md '64-core Rust' comparison point."""
+    import os
+
+    binary = binary or find_binary("raxtax", "RAXTAX")
+    if binary is None:
+        return None
+    threads = threads or (os.cpu_count() or 1)
+    return run_with_memory_poll(
+        [binary, "-d", str(db_fasta), "-i", str(queries),
+         "-o", str(out_dir), "-t", str(threads), "--redo"]
+    )

@@ -20,8 +20,11 @@ import tempfile
 from pathlib import Path
 
 from common import (
+    find_binary,
     raxtax_tpu_cmd,
     read_fasta_records,
+    run_rust_raxtax,
+    run_sintax,
     run_with_memory_poll,
     sample_split,
     write_fasta,
@@ -38,7 +41,24 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", default="runtime_memory.csv")
     ap.add_argument("--backend", default="auto")
+    ap.add_argument(
+        "--with-sintax", action="store_true",
+        help="Also run the usearch-SINTAX comparison arm (reference "
+        "scripts/common.py:32-40); needs `usearch` on $PATH or $USEARCH",
+    )
+    ap.add_argument(
+        "--with-rust", action="store_true",
+        help="Also run the reference Rust raxtax (needs `raxtax` on $PATH "
+        "or $RAXTAX)",
+    )
     args = ap.parse_args()
+
+    if args.with_sintax and find_binary("usearch", "USEARCH") is None:
+        print("warning: no usearch binary (set $USEARCH); skipping SINTAX")
+        args.with_sintax = False
+    if args.with_rust and find_binary("raxtax", "RAXTAX") is None:
+        print("warning: no raxtax binary (set $RAXTAX); skipping Rust arm")
+        args.with_rust = False
 
     records = read_fasta_records(args.input_fasta)
     rows = []
@@ -57,20 +77,31 @@ def main() -> int:
                     ref_f, qry_f, Path(td) / "out",
                     extra=["--backend", args.backend],
                 )
-                runtime, peak_mb, rc = run_with_memory_poll(cmd)
-            rows.append(
-                {
-                    "tool": "raxtax-tpu",
-                    "size": size,
-                    "rep": rep,
-                    "runtime_s": round(runtime, 3),
-                    "peak_rss_mb": round(peak_mb, 1),
-                    "returncode": rc,
-                    "queries": len(queries),
-                    "qps": round(len(queries) / runtime, 2),
-                }
-            )
-            print(rows[-1])
+                results = [("raxtax-tpu", run_with_memory_poll(cmd))]
+                if args.with_sintax:
+                    r = run_sintax(ref_f, qry_f, td)
+                    if r is not None:
+                        results.append(("usearch-sintax", r))
+                if args.with_rust:
+                    r = run_rust_raxtax(
+                        ref_f, qry_f, Path(td) / "out_rust"
+                    )
+                    if r is not None:
+                        results.append(("raxtax-rust", r))
+            for tool, (runtime, peak_mb, rc) in results:
+                rows.append(
+                    {
+                        "tool": tool,
+                        "size": size,
+                        "rep": rep,
+                        "runtime_s": round(runtime, 3),
+                        "peak_rss_mb": round(peak_mb, 1),
+                        "returncode": rc,
+                        "queries": len(queries),
+                        "qps": round(len(queries) / runtime, 2),
+                    }
+                )
+                print(rows[-1])
     with open(args.out, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
         w.writeheader()

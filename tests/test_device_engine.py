@@ -246,3 +246,29 @@ def test_forced_signal_replay_with_prefetch(small_world):
         got = dev.classify_batch(chunk)
         for (label, seq), qr in zip(chunk, got):
             assert render(qr) == render(oracle.classify(label, seq)), label
+
+
+def test_debug_checks_pass_and_trip(small_world, monkeypatch):
+    """--debug-checks: clean runs pass; corrupted device results trip the
+    invariant checks (SURVEY §5 debug-checks mode)."""
+    db, queries = small_world
+    dev = DeviceClassifier.create(
+        db, backend="xla", batch_size=8, debug_checks=True
+    )
+    got = dev.classify_batch(queries[:8])  # clean: no assertion
+    assert len(got) == 8
+
+    import raxtax_tpu.engine.device as device_mod
+    from raxtax_tpu.ops import histogram as hist_mod
+
+    orig = hist_mod.intersection_histogram
+
+    def corrupt(counts, s_max):
+        return orig(counts, s_max).at[:, 0].add(3)  # lose/duplicate mass
+
+    monkeypatch.setattr(hist_mod, "intersection_histogram", corrupt)
+    dev2 = DeviceClassifier.create(
+        db, backend="xla", batch_size=8, debug_checks=True
+    )
+    with pytest.raises(AssertionError, match="histogram mass"):
+        dev2.classify_batch(queries[:8])
