@@ -434,7 +434,17 @@ class DeviceClassifier:
         """
         import jax.numpy as jnp
 
-        from ..ops.nodeconf import DESCENT_MARGIN_SAFE, max_descent
+        from ..ops.nodeconf import (
+            DESCENT_MARGIN_SAFE,
+            DESCENT_MARGIN_SAFE_MESH,
+            max_descent,
+        )
+
+        margin_safe = (
+            DESCENT_MARGIN_SAFE
+            if self.pipeline is None
+            else DESCENT_MARGIN_SAFE_MESH
+        )
 
         self._replayed_queries = set()
         if not sites:
@@ -470,7 +480,7 @@ class DeviceClassifier:
         host_sites: list[tuple[int, int]] = []
         for i, (b, pos) in enumerate(sites):
             if self.descent == "device" or (
-                margins[i] > DESCENT_MARGIN_SAFE and b not in cum_cache
+                margins[i] > margin_safe and b not in cum_cache
             ):
                 fallback_map[(b, int(eval_ids[pos]))] = int(finals[i])
             else:

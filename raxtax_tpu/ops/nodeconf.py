@@ -29,15 +29,17 @@ import jax.numpy as jnp
 #: re-rounds in f64 and prunes, so extras are harmless.
 SIG_THRESHOLD = 0.005 - 1e-4
 
-#: Smallest f32 argmax margin that PROVES agreement with the reference's
-#: f64 comparison (src/lineage.rs:154-170). Bound: node confidences are
-#: differences of two entries of an f32 cumsum over nonnegative per-tip
-#: probabilities summing to <= 1, so |f32 - f64| per confidence is at most
-#: ~(log2(N)+2)·eps + eps (table f64->f32 cast), < 5.5e-6 at N = 2^24;
-#: comparing two children doubles it. 6e-5 adds a ~5x cushion (covering the
-#: psum combine depth of model-sharded runs). Descent steps whose margin
-#: falls below this are replayed on host in exact f64.
-DESCENT_MARGIN_SAFE = 6e-5
+#: Smallest device argmax margin that PROVES agreement with the
+#: reference's f64 comparison (src/lineage.rs:154-170). The descent reads
+#: DOUBLE-f32 cumsums (TwoSum scan, ~2^-48 tracking error) and compares
+#: child confidences recombined as hi + lo in f32, so the error per
+#: confidence is the final f32 rounding (~eps·|conf| <= 6e-8) plus the
+#: scan's ~4e-9 — comparing two children doubles it. 1e-6 adds a ~4x
+#: cushion. Under a mesh the cross-shard psum rounds the hi plane in plain
+#: f32 (~log2(shards)·eps error): use the MESH constant. Descent steps
+#: whose margin falls below the bound replay on host in exact f64.
+DESCENT_MARGIN_SAFE = 1e-6
+DESCENT_MARGIN_SAFE_MESH = 1e-5
 
 
 GATHER_CHUNK = 16384  #: tip columns per one-hot matmul step
@@ -204,7 +206,7 @@ def significant_nodes_planes(
     conf_hi, conf_lo = node_conf_dd(cum_hi, cum_lo, node_starts, node_ends)
     k = min(top_k, conf_hi.shape[1])
     vals, vals_lo, idx, n_sig = _compact_dd(conf_hi, conf_lo, k)
-    return vals, vals_lo, idx, n_sig, cum_hi
+    return vals, vals_lo, idx, n_sig, (cum_hi, cum_lo)
 
 
 @partial(jax.jit, static_argnames=("top_k",))
@@ -228,7 +230,7 @@ def significant_nodes(
     conf_hi, conf_lo = node_conf_dd(cum_hi, cum_lo, node_starts, node_ends)
     k = min(top_k, conf_hi.shape[1])
     vals, vals_lo, idx, n_sig = _compact_dd(conf_hi, conf_lo, k)
-    return vals, vals_lo, idx, n_sig, cum_hi
+    return vals, vals_lo, idx, n_sig, (cum_hi, cum_lo)
 
 
 #: above this eval-node count, switch from a flat `lax.top_k` (a full sort
@@ -299,7 +301,7 @@ def threshold_set(conf: jax.Array, threshold: float, k: int):
 
 @partial(jax.jit, static_argnames=("chunk", "psum_axis", "vary_axes"))
 def max_descent(
-    cum0: jax.Array,  # [B, N+1] f32 tip-probability cumsum (local tips)
+    cum0,  # ([B, N+1] cum_hi, [B, N+1] cum_lo) double-f32 tip cumsum
     b_idx: jax.Array,  # [M] int32 query index per descent
     start_nodes: jax.Array,  # [M] int32 GLOBAL node id to descend from
     range_start: jax.Array,  # [n_nodes] int32 (clipped to local tips if sharded)
@@ -333,8 +335,12 @@ def max_descent(
         # manual axes (values derived from the data-sharded cumsum)
         return jax.lax.pcast(x, vary_axes, to="varying") if vary_axes else x
 
+    cum_hi, cum_lo = cum0
+
     def conf_of(b, ids):
-        v = cum0[b, range_end[ids]] - cum0[b, range_start[ids]]
+        e, s = range_end[ids], range_start[ids]
+        d_hi, d_err = _two_sum(cum_hi[b, e], -cum_hi[b, s])
+        v = d_hi + (d_err + cum_lo[b, e] - cum_lo[b, s])
         if psum_axis is not None:
             v = jax.lax.psum(v, psum_axis)
         return v

@@ -413,7 +413,7 @@ class ShardedPipeline:
                 self._replicate(vals_lo),
                 self._replicate(idx),
                 self._replicate(n_sig),
-                cum_hi,
+                (cum_hi, cum_lo),
             )
 
         return jax.shard_map(
@@ -425,7 +425,7 @@ class ShardedPipeline:
                 self._data_spec(None),
                 self._data_spec(None),
                 self._data_spec(),
-                P("data", "model"),
+                (P("data", "model"), P("data", "model")),
             ),
             check_vma=False,
         )(counts, table)
@@ -458,7 +458,7 @@ class ShardedPipeline:
                 self._replicate(vals_lo),
                 self._replicate(idx),
                 self._replicate(n_sig),
-                cum_hi,
+                (cum_hi, cum_lo),
             )
 
         return jax.shard_map(
@@ -470,7 +470,7 @@ class ShardedPipeline:
                 self._data_spec(None),
                 self._data_spec(None),
                 self._data_spec(),
-                P("data", "model"),
+                (P("data", "model"), P("data", "model")),
             ),
             check_vma=False,
         )(planes, table)
@@ -497,12 +497,13 @@ class ShardedPipeline:
                  is_inner):
         n_local = self.n_padded // self.mesh.shape["model"]
 
-        def stage(cum0_l, b_arr, start_arr):
+        def stage(cum_hi_l, cum_lo_l, b_arr, start_arr):
+            cum0_l = (cum_hi_l, cum_lo_l)
             # Each data shard runs every descent redundantly (M is tiny):
             # non-owned rows use a clamped local query index, producing a
             # terminating-but-garbage walk whose result is masked out; the
             # psum over 'data' then leaves exactly the owner's answer.
-            b_local = cum0_l.shape[0]
+            b_local = cum_hi_l.shape[0]
             d = jax.lax.axis_index("data")
             local_b = b_arr - d * b_local
             owned = (local_b >= 0) & (local_b < b_local)
@@ -530,9 +531,9 @@ class ShardedPipeline:
         return jax.shard_map(
             stage,
             mesh=self.mesh,
-            in_specs=(P("data", "model"), P(), P()),
+            in_specs=(P("data", "model"), P("data", "model"), P(), P()),
             out_specs=(P(), P()),
-        )(cum0, b_arr, start_arr)
+        )(cum0[0], cum0[1], b_arr, start_arr)
 
     @partial(jax.jit, static_argnames=("self",))
     def _gather_rows(self, counts, idx):
