@@ -363,3 +363,251 @@ void rx_tip_cumsum_u16(const uint16_t* row, const double* table,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Native per-query lineage evaluation + formatting.
+//
+// Replay of the reference's eval_recurse over the significant-node sparse
+// set (reference: src/lineage.rs:119-179) plus result formatting
+// (src/lineage.rs:17-48, src/utils.rs:62-105), in C++: the Python replay
+// costs ~0.8 ms per query on fallback-dense workloads (dozens of emitted
+// lines), which caps end-to-end throughput once the device stages are
+// fast. Semantics preserved exactly:
+//   - child confidences rounded half-away-from-zero at 2 decimals before
+//     the zero-pruning test; emission at Taxon nodes that pushed nothing;
+//   - fallback at Inner nodes with no significant child: follow the
+//     precomputed max-confidence leaf at 0.01 per descended level;
+//   - results sorted descending-lexicographically, stable ties;
+//   - local_signal = L2 distance of sum-normalized observed vs expected
+//     vectors from the first level where expected < 1.0 (sequential
+//     left-to-right f64 sums, like Rust's Iterator::sum);
+//   - %.2f / %.5f fixed formatting (correctly rounded, same as Rust/Python).
+
+#include <cmath>
+#include <cstdio>
+#include <string>
+#include <vector>
+#include <algorithm>
+#include <functional>
+
+namespace {
+
+constexpr uint8_t NODE_INNER = 0;
+constexpr uint8_t NODE_TAXON = 1;
+
+inline double round2_away(double v) {
+    return std::copysign(std::floor(std::fabs(v * 100.0) + 0.5), v) / 100.0;
+}
+
+struct EvalResult {
+    int32_t tip;
+    std::vector<double> conf;
+    std::vector<double> expected;
+    double local = 0.0;
+};
+
+}  // namespace
+
+extern "C" {
+
+// Returns 0 on success, 1 if a buffer was too small (caller retries with
+// bigger buffers; *out_len/*tsv_len then hold the required sizes).
+int rx_evaluate(
+    const int32_t* parent, const uint8_t* node_type,
+    const int32_t* range_start, const int32_t* range_end, int64_t num_tips,
+    const char* lineage_blob, const int64_t* lineage_offsets,
+    const char* label, int64_t label_len,
+    const int32_t* sig_nodes, const double* sig_vals, int64_t n_sig,
+    const int32_t* fb_starts, const int32_t* fb_leaves, int64_t n_fb,
+    double global_signal, int32_t override_tip, int32_t want_tsv,
+    const char* seq_str, int64_t seq_len,
+    char* out_buf, int64_t out_cap, int64_t* out_len,
+    char* tsv_buf, int64_t tsv_cap, int64_t* tsv_len) {
+    // significant children per node, ascending node id (creation order);
+    // sig_nodes arrive sorted ascending from the caller
+    struct SigChild { int32_t parent, child; double rounded; };
+    std::vector<SigChild> entries;
+    entries.reserve(n_sig);
+    std::vector<double> rounded_of(n_sig);
+    for (int64_t i = 0; i < n_sig; ++i) {
+        double r = round2_away(sig_vals[i]);
+        if (r == 0.0 || sig_nodes[i] == 0) continue;
+        entries.push_back({parent[sig_nodes[i]], sig_nodes[i], r});
+    }
+    std::stable_sort(entries.begin(), entries.end(),
+                     [](const SigChild& a, const SigChild& b) {
+                         return a.parent < b.parent;
+                     });
+
+    auto children_of = [&](int32_t node, int64_t& lo, int64_t& hi) {
+        SigChild key{node, 0, 0.0};
+        auto a = std::lower_bound(
+            entries.begin(), entries.end(), key,
+            [](const SigChild& x, const SigChild& y) { return x.parent < y.parent; });
+        auto b = std::upper_bound(
+            entries.begin(), entries.end(), key,
+            [](const SigChild& x, const SigChild& y) { return x.parent < y.parent; });
+        lo = a - entries.begin();
+        hi = b - entries.begin();
+    };
+
+    const double inv_tips = 1.0 / double(num_tips);
+    auto frac = [&](int32_t n) {
+        return double(range_end[n] - range_start[n]) * inv_tips;
+    };
+
+    std::vector<EvalResult> results;
+    std::vector<double> conf_prefix, exp_prefix;
+    bool missing_fallback = false;
+
+    // iterative replay of the recursion; returns whether the subtree
+    // pushed a result ("child_pushed" of the reference)
+    std::function<bool(int32_t)> recurse = [&](int32_t node) -> bool {
+        int64_t lo, hi;
+        children_of(node, lo, hi);
+        bool pushed = false;
+        bool no_child = (lo == hi);
+        for (int64_t i = lo; i < hi; ++i) {
+            int32_t c = entries[i].child;
+            conf_prefix.push_back(entries[i].rounded);
+            exp_prefix.push_back(frac(c));
+            bool child_pushed = recurse(c);
+            if (!child_pushed && node_type[c] == NODE_TAXON) {
+                results.push_back(
+                    {range_start[c], conf_prefix, exp_prefix, 0.0});
+                pushed = true;
+            }
+            pushed |= child_pushed;
+            conf_prefix.pop_back();
+            exp_prefix.pop_back();
+        }
+        if (no_child && node_type[node] == NODE_INNER) {
+            // fallback: precomputed max-confidence leaf for this start node
+            int32_t leaf = -1;
+            for (int64_t i = 0; i < n_fb; ++i)
+                if (fb_starts[i] == node) { leaf = fb_leaves[i]; break; }
+            if (leaf < 0) missing_fallback = true;
+            if (leaf >= 0) {
+                // path strictly below `node` down to `leaf`
+                std::vector<int32_t> path;
+                for (int32_t cur = leaf; cur != node; cur = parent[cur])
+                    path.push_back(cur);
+                std::reverse(path.begin(), path.end());
+                size_t base_c = conf_prefix.size();
+                for (int32_t p : path) {
+                    conf_prefix.push_back(0.01);
+                    exp_prefix.push_back(frac(p));
+                }
+                results.push_back(
+                    {range_start[leaf], conf_prefix, exp_prefix, 0.0});
+                conf_prefix.resize(base_c);
+                exp_prefix.resize(base_c);
+                pushed = true;
+            }
+        }
+        return pushed;
+    };
+    recurse(0);
+    if (missing_fallback) return 3;  // caller re-runs the Python replay
+
+    // descending lexicographic, stable
+    std::stable_sort(results.begin(), results.end(),
+                     [](const EvalResult& a, const EvalResult& b) {
+                         return std::lexicographical_compare(
+                             b.conf.begin(), b.conf.end(),
+                             a.conf.begin(), a.conf.end());
+                     });
+
+    for (auto& r : results) {
+        size_t start = r.expected.empty() ? 0 : r.expected.size() - 1;
+        for (size_t i = 0; i < r.expected.size(); ++i)
+            if (r.expected[i] < 1.0) { start = i; break; }
+        double a_sum = 0.0, b_sum = 0.0;
+        for (size_t i = start; i < r.conf.size(); ++i) a_sum += r.conf[i];
+        for (size_t i = start; i < r.expected.size(); ++i)
+            b_sum += r.expected[i];
+        double acc = 0.0;
+        if (r.conf.size() > start) {
+            for (size_t i = start; i < r.conf.size(); ++i) {
+                double d = r.conf[i] / a_sum - r.expected[i] / b_sum;
+                acc += d * d;
+            }
+        }
+        r.local = std::sqrt(acc);
+    }
+
+    // single-exact-match confidence override (src/raxtax.rs:73-84): one
+    // line, match's lineage, 1.00 per level, signals from the top result
+    std::string out, tsv;
+    char num[64];
+    auto lineage_of = [&](int32_t tip, const char** s, int64_t* n) {
+        *s = lineage_blob + lineage_offsets[tip];
+        *n = lineage_offsets[tip + 1] - lineage_offsets[tip];
+    };
+    auto emit = [&](int32_t tip, const std::vector<double>& conf,
+                    double local) {
+        const char* lin; int64_t lin_n;
+        lineage_of(tip, &lin, &lin_n);
+        out.append(label, label_len);
+        out.push_back('\t');
+        out.append(lin, lin_n);
+        out.push_back('\t');
+        for (size_t i = 0; i < conf.size(); ++i) {
+            if (i) out.push_back(',');
+            snprintf(num, sizeof num, "%.2f", conf[i]);
+            out.append(num);
+        }
+        snprintf(num, sizeof num, "\t%.5f", local);
+        out.append(num);
+        snprintf(num, sizeof num, "\t%.5f", global_signal);
+        out.append(num);
+        out.push_back('\n');
+        if (want_tsv) {
+            tsv.append(label, label_len);
+            // taxa interleaved with confidences (zip semantics: stop at
+            // the shorter of taxa/conf)
+            int64_t p = 0; size_t ci = 0;
+            while (p < lin_n && ci < conf.size()) {
+                int64_t q = p;
+                while (q < lin_n && lin[q] != ',') ++q;
+                tsv.push_back('\t');
+                tsv.append(lin + p, q - p);
+                snprintf(num, sizeof num, "\t%.2f", conf[ci]);
+                tsv.append(num);
+                ++ci;
+                p = q + 1;
+                if (q == lin_n) break;
+            }
+            snprintf(num, sizeof num, "\t%.5f", local);
+            tsv.append(num);
+            snprintf(num, sizeof num, "\t%.5f", global_signal);
+            tsv.append(num);
+            tsv.push_back('\t');
+            tsv.append(seq_str, seq_len);
+            tsv.push_back('\n');
+        }
+    };
+
+    if (override_tip >= 0 && !results.empty()) {
+        const char* lin; int64_t lin_n;
+        lineage_of(override_tip, &lin, &lin_n);
+        int levels = 1;
+        for (int64_t i = 0; i < lin_n; ++i)
+            if (lin[i] == ',') ++levels;
+        std::vector<double> ones(levels, 1.0);
+        emit(override_tip, ones, results[0].local);
+    } else {
+        for (auto& r : results) emit(r.tip, r.conf, r.local);
+    }
+    if (!out.empty()) out.pop_back();  // join semantics: no trailing \n
+    if (want_tsv && !tsv.empty()) tsv.pop_back();
+
+    *out_len = (int64_t)out.size();
+    *tsv_len = (int64_t)tsv.size();
+    if ((int64_t)out.size() > out_cap || (int64_t)tsv.size() > tsv_cap)
+        return 1;
+    memcpy(out_buf, out.data(), out.size());
+    if (want_tsv) memcpy(tsv_buf, tsv.data(), tsv.size());
+    return results.empty() ? 2 : 0;
+}
+}  // extern "C"

@@ -31,9 +31,14 @@ from ..models.oracle import (
     OracleClassifier,
     QueryResult,
     apply_exact_match_policy,
+    log_exact_matches,
 )
 from ..prob.model import KTableCache, normalized_size_probs
-from ..utils.encoding import round_half_away, sequence_to_kmers
+from ..utils.encoding import (
+    decompress_sequence,
+    round_half_away,
+    sequence_to_kmers,
+)
 
 log = logging.getLogger("raxtax")
 
@@ -255,6 +260,9 @@ class DeviceClassifier:
         self._oracle = OracleClassifier(
             db, skip_exact_matches=skip_exact_matches, raw_confidence=raw_confidence
         )
+        from .. import native
+
+        self._evaluator = native.NativeEvaluator.create(db)
         if mesh is None and backend == "pallas":
             import jax
 
@@ -834,8 +842,58 @@ class DeviceClassifier:
         need_host = self._replayed_queries | set(cum_cache)
         self._fb_dense = len(need_host) * 2 >= max(n_real, 1)
 
+        # per-query fallback (start-node -> leaf) pairs for the evaluator
+        fb_by_b: dict[int, tuple[list[int], list[int]]] = {}
+        for (bb, n), leaf in fallback_map.items():
+            starts_l, leaves_l = fb_by_b.setdefault(bb, ([], []))
+            starts_l.append(n)
+            leaves_l.append(leaf)
+
         out: list[QueryResult] = []
+        empty_i32 = np.empty(0, np.int32)
         for b in range(n_real):
+            if self._evaluator is not None:
+                # native replay + formatting (the Python path below is the
+                # semantics reference; parity covered by the fuzz suite)
+                warned = log_exact_matches(
+                    labels[b], self.db, exact[b], self.skip_exact_matches
+                )
+                override_tip = -1
+                if (
+                    not self.skip_exact_matches
+                    and not self.raw_confidence
+                    and len(exact[b]) == 1
+                ):
+                    override_tip = exact[b][0]
+                sig = sig_sets[b]
+                nodes = np.fromiter(sig.keys(), np.int32, len(sig))
+                nodes.sort()
+                vals64 = np.empty(nodes.shape[0], np.float64)
+                for i, n in enumerate(nodes):
+                    vals64[i] = sig[int(n)]
+                fb_s, fb_l = fb_by_b.get(b, (empty_i32, empty_i32))
+                res = self._evaluator.evaluate(
+                    labels[b],
+                    nodes,
+                    vals64,
+                    np.asarray(fb_s, np.int32),
+                    np.asarray(fb_l, np.int32),
+                    float(global_signals[b]),
+                    override_tip,
+                    decompress_sequence(seqs[b]),
+                )
+                if res is not None:
+                    out.append(
+                        QueryResult(
+                            label=labels[b],
+                            results=[],
+                            sequence=seqs[b],
+                            mislabel_warning=warned,
+                            out_text=res[0],
+                            tsv_text=res[1],
+                        )
+                    )
+                    continue
             results = evaluate_significant(
                 tax,
                 labels[b],

@@ -76,13 +76,20 @@ def euclidean_distance_l1(a, b) -> float:
     assert len(a) == len(b)
     if len(a) == 0:
         return 0.0
-    # sequential left-to-right sums, matching Rust's Iterator::sum rounding
-    a_sum = sum(a)
-    b_sum = sum(b)
+    # sequential left-to-right sums, matching Rust's Iterator::sum
+    # rounding; manual loops beat genexpr+sum() at these tiny lengths
+    a_sum = 0.0
+    for x in a:
+        a_sum += x
+    b_sum = 0.0
+    for y in b:
+        b_sum += y
     assert a_sum > 0.0 and b_sum > 0.0
-    return math.sqrt(
-        sum((x / a_sum - y / b_sum) ** 2 for x, y in zip(a, b))
-    )
+    acc = 0.0
+    for x, y in zip(a, b):
+        d = x / a_sum - y / b_sum
+        acc += d * d
+    return math.sqrt(acc)
 
 
 def evaluate_significant(
@@ -103,15 +110,23 @@ def evaluate_significant(
     `Iterator::max_by`).
     """
     # children of each node restricted to the significant set, in id
-    # (== creation/DFS) order
+    # (== creation/DFS) order; rounding vectorized over the whole set
+    # (reference: src/lineage.rs:128-129 round-half-away at 2 decimals)
     sig_children: dict[int, list[int]] = {}
     rounded: dict[int, float] = {}
-    for node in sorted(significant):
-        conf = round_half_away(significant[node])
-        if conf == 0.0 or node == ROOT:
-            continue
-        rounded[node] = float(conf)
-        sig_children.setdefault(int(tax.parent[node]), []).append(node)
+    if significant:
+        nodes = np.fromiter(significant.keys(), np.int64, len(significant))
+        nodes.sort()
+        vals = np.empty(nodes.shape[0], np.float64)
+        for i, n in enumerate(nodes):
+            vals[i] = significant[int(n)]
+        rvals = round_half_away(vals)
+        parents = tax.parent[nodes]
+        for n, rv, par in zip(nodes.tolist(), rvals.tolist(), parents.tolist()):
+            if rv == 0.0 or n == ROOT:
+                continue
+            rounded[n] = rv
+            sig_children.setdefault(par, []).append(n)
 
     results: list[tuple[int, list[float], list[float]]] = []
     frac = tax.subtree_fraction

@@ -33,11 +33,18 @@ class QueryResult:
     results: list[EvaluationResult]
     sequence: np.ndarray
     mislabel_warning: bool = False
+    #: pre-formatted text from the native evaluator (engine fast path)
+    out_text: str | None = None
+    tsv_text: str | None = None
 
     def out_string(self) -> str:
+        if self.out_text is not None:
+            return self.out_text
         return "\n".join(r.out_line() for r in self.results)
 
     def tsv_string(self) -> str:
+        if self.tsv_text is not None:
+            return self.tsv_text
         seq = decompress_sequence(self.sequence)
         return "\n".join(r.tsv_line(seq) for r in self.results)
 
@@ -51,6 +58,31 @@ def intersection_counts(db: Database, kmers: np.ndarray) -> np.ndarray:
     return bits.sum(axis=0, dtype=np.uint32)[: db.num_tips].astype(np.uint16)
 
 
+def log_exact_matches(
+    query_label: str, db: Database, exact: list[int],
+    skip_exact_matches: bool,
+) -> bool:
+    """Exact-match logging + mislabel warning (src/raxtax.rs:42-53).
+    Returns whether the aggregated warning fired."""
+    if skip_exact_matches or not exact:
+        return False
+    lineages = db.taxonomy.lineages
+    for idx in exact:
+        log.info(
+            "Exact sequence match for query %s: %s",
+            query_label,
+            lineages[idx],
+        )
+    parents = {lineages[i].rsplit(",", 1)[0] for i in exact}
+    if len(parents) > 1:
+        log.warning(
+            "Exact matches for %s differ above the leafs of the lineage tree!",
+            query_label,
+        )
+        return True
+    return False
+
+
 def apply_exact_match_policy(
     query_label: str,
     db: Database,
@@ -61,22 +93,9 @@ def apply_exact_match_policy(
 ) -> tuple[list[EvaluationResult], bool]:
     """Mislabel warning + single-exact-match confidence override
     (src/raxtax.rs:42-53, 73-84). Returns (results, warned)."""
-    warned = False
+    warned = log_exact_matches(query_label, db, exact, skip_exact_matches)
     if not skip_exact_matches:
         lineages = db.taxonomy.lineages
-        for idx in exact:
-            log.info(
-                "Exact sequence match for query %s: %s",
-                query_label,
-                lineages[idx],
-            )
-        parents = {lineages[i].rsplit(",", 1)[0] for i in exact}
-        if len(parents) > 1:
-            log.warning(
-                "Exact matches for %s differ above the leafs of the lineage tree!",
-                query_label,
-            )
-            warned = True
         if not raw_confidence and len(exact) == 1:
             idx = exact[0]
             lineage = lineages[idx]

@@ -83,6 +83,18 @@ def get_lib():
             _u32p, ctypes.c_int64, _i32p, _u16p, ctypes.c_int64, _f64p,
             ctypes.c_int64, _f64p,
         ]
+        lib.rx_evaluate.restype = ctypes.c_int
+        lib.rx_evaluate.argtypes = [
+            _i32p, _u8p, _i32p, _i32p, ctypes.c_int64,
+            _u8p, _i64p,
+            ctypes.c_char_p, ctypes.c_int64,
+            _i32p, _f64p, ctypes.c_int64,
+            _i32p, _i32p, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_int64,
+            _u8p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            _u8p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+        ]
         lib.rx_parse_fasta.restype = ctypes.c_int
         lib.rx_parse_fasta.argtypes = [
             _u8p, ctypes.c_int64, ctypes.c_int,
@@ -272,3 +284,90 @@ def pack_query_rows(seqs: list[np.ndarray]) -> np.ndarray | None:
         flat, offsets = _flatten(seqs)
         lib.rx_pack_query_rows(flat, offsets, n, rows)
     return rows[:n]
+
+
+class NativeEvaluator:
+    """Per-query lineage evaluation + formatting through rx_evaluate.
+
+    Holds the DB-constant operands (flattened taxonomy arrays, the
+    per-tip lineage-string blob); :meth:`evaluate` formats one query's
+    `.out`/`.tsv` text blocks. Returns None from :func:`create` when the
+    native library is unavailable (callers keep the Python replay).
+    """
+
+    def __init__(self, lib, db):
+        tax = db.taxonomy
+        self._lib = lib
+        self._parent = np.ascontiguousarray(tax.parent, np.int32)
+        self._node_type = np.ascontiguousarray(tax.node_type, np.uint8)
+        self._rs = np.ascontiguousarray(tax.range_start, np.int32)
+        self._re = np.ascontiguousarray(tax.range_end, np.int32)
+        self._num_tips = int(tax.num_tips)
+        encoded = [l.encode("utf-8") for l in tax.lineages]
+        self._lin_offsets = np.zeros(len(encoded) + 1, np.int64)
+        self._lin_offsets[1:] = np.cumsum([len(e) for e in encoded])
+        self._lin_blob = np.frombuffer(
+            b"".join(encoded) or b"\x00", np.uint8
+        ).copy()
+        self._out_buf = np.empty(1 << 16, np.uint8)
+        self._tsv_buf = np.empty(1 << 16, np.uint8)
+
+    @classmethod
+    def create(cls, db) -> "NativeEvaluator | None":
+        lib = get_lib()
+        if lib is None:
+            return None
+        return cls(lib, db)
+
+    def evaluate(
+        self,
+        label: str,
+        sig_nodes: np.ndarray,  # i32, ascending node ids
+        sig_vals: np.ndarray,  # f64
+        fb_starts: np.ndarray,  # i32
+        fb_leaves: np.ndarray,  # i32
+        global_signal: float,
+        override_tip: int,  # -1 = no single-exact-match override
+        seq_str: str,
+    ) -> tuple[str, str] | None:
+        """(out_text, tsv_text), or None if the native path declined
+        (missing fallback entry / no results) — caller uses the Python
+        replay."""
+        lab = label.encode("utf-8")
+        seq = seq_str.encode("utf-8")
+        out_len = ctypes.c_int64(0)
+        tsv_len = ctypes.c_int64(0)
+        for _ in range(3):
+            rc = self._lib.rx_evaluate(
+                self._parent, self._node_type, self._rs, self._re,
+                self._num_tips,
+                self._lin_blob, self._lin_offsets,
+                lab, len(lab),
+                np.ascontiguousarray(sig_nodes, np.int32),
+                np.ascontiguousarray(sig_vals, np.float64),
+                len(sig_nodes),
+                np.ascontiguousarray(fb_starts, np.int32),
+                np.ascontiguousarray(fb_leaves, np.int32),
+                len(fb_starts),
+                float(global_signal), int(override_tip), 1,
+                seq, len(seq),
+                self._out_buf, self._out_buf.shape[0],
+                ctypes.byref(out_len),
+                self._tsv_buf, self._tsv_buf.shape[0],
+                ctypes.byref(tsv_len),
+            )
+            if rc == 1:  # grow buffers and retry
+                self._out_buf = np.empty(
+                    max(int(out_len.value) + 64, 1 << 16), np.uint8
+                )
+                self._tsv_buf = np.empty(
+                    max(int(tsv_len.value) + 64, 1 << 16), np.uint8
+                )
+                continue
+            if rc != 0:
+                return None
+            return (
+                self._out_buf[: out_len.value].tobytes().decode("utf-8"),
+                self._tsv_buf[: tsv_len.value].tobytes().decode("utf-8"),
+            )
+        return None

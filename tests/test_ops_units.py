@@ -67,3 +67,24 @@ def test_compress_roundtrip(rng):
         if b in over:
             continue
         np.testing.assert_array_equal(rows[b], counts[b].astype(np.uint16))
+
+
+def test_dd_cumsum_survives_compilation():
+    """The TwoSum error-free transformation must not be optimized away by
+    XLA (fast-math-style rewrites would silently zero the lo plane and
+    invalidate every double-f32 margin bound)."""
+    import jax
+    import jax.numpy as jnp
+
+    from raxtax_tpu.ops.nodeconf import tip_prob_cumsum_dd
+
+    N = 4096
+    probs = np.full((2, N), 2.0**-28, dtype=np.float32)
+    probs[:, 0] = 1.0
+    hi, lo = jax.jit(tip_prob_cumsum_dd)(jnp.asarray(probs))
+    total = np.asarray(hi, np.float64)[:, -1] + np.asarray(lo, np.float64)[:, -1]
+    exact = 1.0 + (N - 1) * 2.0**-28
+    assert abs(total[0] - exact) < 1e-9
+    # and a naive f32 scan genuinely loses the tiny terms on this input
+    naive = float(np.cumsum(probs[0], dtype=np.float32)[-1])
+    assert abs(naive - exact) > 1e-6
