@@ -79,7 +79,7 @@ def synth_queries(fam: np.ndarray, n: int, seed: int = 7):
 def get_database(lineages, seqs):
     from raxtax_tpu.db.database import build_database, load_database, save_database
 
-    cache = Path(f"/tmp/raxtax_bench_db_{N_REFS}_v1.npz")
+    cache = Path(f"/tmp/raxtax_bench_db_{N_REFS}_v2.rxdb")
     if cache.is_file():
         try:
             t0 = time.time()

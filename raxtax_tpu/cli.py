@@ -40,7 +40,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "-d", "--database-path", required=True, type=Path,
-        help="Path to the database fasta or binary (.npz) file",
+        help="Path to the database fasta or binary (.rxdb) file",
     )
     p.add_argument(
         "-i", "--query-file", type=Path, default=None,
@@ -230,7 +230,7 @@ def main(argv: list[str] | None = None) -> int:
             return errors.NOINPUT
 
         if parsed_from_fasta and not args.skip_db and not args._read_only_output:
-            bin_path = (Path(args.prefix) / db_path.name).with_suffix(".bin.npz")
+            bin_path = (Path(args.prefix) / db_path.name).with_suffix(".bin.rxdb")
             if bin_path.is_file() and not args.redo:
                 report_error(
                     "Could not create database! Rerun with --skip-db to skip "

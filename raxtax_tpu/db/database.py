@@ -93,33 +93,133 @@ def build_database(
     )
 
 
+RXDB_MAGIC = b"RXDB0002"
+_RXDB_ALIGN = 4096
+
+
 def save_database(db: Database, path: str | Path) -> None:
-    """Persist as uncompressed npz (binary DB cache; cf. src/tree.rs:147-153)."""
+    """Persist the binary DB cache (cf. src/tree.rs:147-153).
+
+    Format v2: one file — a JSON header (array names, dtypes, shapes,
+    offsets) followed by page-aligned raw array bytes. Unlike the v1 npz
+    (a zip container that must be streamed through a decompressor), every
+    array is `np.memmap`-addressable: loading a multi-GB database costs
+    milliseconds, pages fault in lazily, and backends that never touch an
+    array (the pallas path never reads the 8 GB ref-major matrix) never
+    pay its IO.
+    """
+    import json
+
     tax = db.taxonomy
-    lineage_blob = "\n".join(tax.lineages).encode("utf-8")
-    label_blob = "\n".join(tax.labels).encode("utf-8")
-    np.savez(
-        path if str(path).endswith(".npz") else str(path),
-        magic=np.array(DB_MAGIC),
-        version=np.array(DB_FORMAT_VERSION),
-        lineage_blob=np.frombuffer(lineage_blob, dtype=np.uint8),
-        label_blob=np.frombuffer(label_blob, dtype=np.uint8),
-        parent=tax.parent,
-        depth=tax.depth,
-        range_start=tax.range_start,
-        range_end=tax.range_end,
-        node_type=tax.node_type,
-        num_tips=np.array(tax.num_tips),
-        ref_major=db.ref_major,
-        kmer_major=db.kmer_major,
-        seq_flat=db.seq_flat,
-        seq_offsets=db.seq_offsets,
+    lineage_blob = np.frombuffer(
+        "\n".join(tax.lineages).encode("utf-8"), dtype=np.uint8
+    )
+    label_blob = np.frombuffer(
+        "\n".join(tax.labels).encode("utf-8"), dtype=np.uint8
+    )
+    arrays = {
+        "lineage_blob": lineage_blob,
+        "label_blob": label_blob,
+        "parent": tax.parent,
+        "depth": tax.depth,
+        "range_start": tax.range_start,
+        "range_end": tax.range_end,
+        "node_type": tax.node_type,
+        "seq_offsets": db.seq_offsets,
+        "seq_flat": db.seq_flat,
+        "kmer_major": db.kmer_major,
+        "ref_major": db.ref_major,
+    }
+    entries = {}
+    # header is padded to one page; arrays start page-aligned after it
+    offset = _RXDB_ALIGN
+    for name, arr in arrays.items():
+        arr = np.ascontiguousarray(arr)
+        arrays[name] = arr
+        entries[name] = {
+            "dtype": arr.dtype.str,
+            "shape": list(arr.shape),
+            "offset": offset,
+        }
+        offset += (arr.nbytes + _RXDB_ALIGN - 1) // _RXDB_ALIGN * _RXDB_ALIGN
+    header = json.dumps(
+        {
+            "magic": DB_MAGIC,
+            "version": 2,
+            "num_tips": int(tax.num_tips),
+            "arrays": entries,
+        }
+    ).encode("utf-8")
+    assert len(header) + len(RXDB_MAGIC) < _RXDB_ALIGN, "header too large"
+    with open(path, "wb") as f:
+        f.write(RXDB_MAGIC)
+        f.write(header)
+        for name, arr in arrays.items():
+            f.seek(entries[name]["offset"])
+            arr.tofile(f)
+        f.truncate(offset)
+
+
+def _load_database_v2(path: str | Path) -> Database:
+    import json
+
+    with open(path, "rb") as f:
+        head = f.read(_RXDB_ALIGN)
+    if not head.startswith(RXDB_MAGIC):
+        raise ValueError("not a raxtax-tpu v2 database")
+    meta = json.loads(head[len(RXDB_MAGIC) :].split(b"\x00", 1)[0])
+    if meta.get("magic") != DB_MAGIC or meta.get("version") != 2:
+        raise ValueError("unsupported database header")
+
+    def arr(name, mmap=True):
+        e = meta["arrays"][name]
+        shape = tuple(e["shape"])
+        if mmap:
+            return np.memmap(
+                path, dtype=np.dtype(e["dtype"]), mode="r",
+                offset=e["offset"], shape=shape,
+            )
+        with open(path, "rb") as f:
+            f.seek(e["offset"])
+            return np.fromfile(
+                f, dtype=np.dtype(e["dtype"]),
+                count=int(np.prod(shape)) if shape else 1,
+            ).reshape(shape)
+
+    num_tips = int(meta["num_tips"])
+    lineages = bytes(arr("lineage_blob", mmap=False)).decode("utf-8").split("\n")
+    labels = bytes(arr("label_blob", mmap=False)).decode("utf-8").split("\n")
+    if num_tips == 0:
+        lineages = []
+    taxonomy = Taxonomy(
+        lineages=lineages,
+        labels=labels,
+        parent=arr("parent", mmap=False),
+        depth=arr("depth", mmap=False),
+        range_start=arr("range_start", mmap=False),
+        range_end=arr("range_end", mmap=False),
+        node_type=arr("node_type", mmap=False),
+        num_tips=num_tips,
+    )
+    seq_flat = arr("seq_flat", mmap=False)
+    seq_offsets = arr("seq_offsets", mmap=False)
+    return Database(
+        taxonomy=taxonomy,
+        ref_major=arr("ref_major"),  # lazy: pallas runs never read it
+        kmer_major=arr("kmer_major"),
+        seq_flat=seq_flat,
+        seq_offsets=seq_offsets,
+        exact_map=_build_exact_map(seq_flat, seq_offsets, num_tips),
     )
 
 
 def load_database(path: str | Path) -> Database:
-    """Load a binary DB; raises on anything that isn't one
-    (the caller falls back to FASTA parsing, cf. src/parser.rs:38-40)."""
+    """Load a binary DB (v2 page-aligned mmap format, or the round-1 npz);
+    raises on anything that isn't one (the caller falls back to FASTA
+    parsing, cf. src/parser.rs:38-40)."""
+    with open(path, "rb") as f:
+        if f.read(len(RXDB_MAGIC)) == RXDB_MAGIC:
+            return _load_database_v2(path)
     with np.load(path, allow_pickle=False) as z:
         if str(z["magic"]) != DB_MAGIC:
             raise ValueError("not a raxtax-tpu database")

@@ -187,6 +187,10 @@ class DeviceClassifier:
     _replayed_queries: set = field(default_factory=set, repr=False)
     #: sticky significance-compaction width (grows on overflow)
     _top_k: int = field(default=TOP_K, repr=False)
+    #: sticky overflow-list budget for the compressed representation
+    _over_budget: int = field(default=4096, repr=False)
+    #: sticky tile fan-in multiplier for the overflow extraction
+    _over_spread: int = field(default=1, repr=False)
     #: run Pallas kernels in interpreter mode (non-TPU devices)
     _interpret: bool = field(default=False, repr=False)
     #: --debug-checks: validate device-stage invariants on the (small)
@@ -288,7 +292,7 @@ class DeviceClassifier:
 
     # ------------------------------------------------------------------
 
-    def _significant(self, counts, table, top_k: int):
+    def _significant(self, counts, table, top_k: int, rows_pre=None):
         """Significance compaction dispatch (pipeline / planes / dense)."""
         import jax.numpy as jnp
 
@@ -297,6 +301,10 @@ class DeviceClassifier:
         if self.pipeline is not None:
             return self.pipeline.significant(counts, table, top_k)
         if self._planes_mode:
+            over_idx = over_val = None
+            if rows_pre is not None and rows_pre[0] in ("planes", "planes-dev"):
+                # overflow lists double as the low-bit-mux probs fixup
+                over_idx, over_val = rows_pre[2], rows_pre[3]
             return significant_nodes_planes(
                 counts,
                 jnp.asarray(table),
@@ -304,6 +312,8 @@ class DeviceClassifier:
                 self.node_ends,
                 top_k=top_k,
                 interpret=self._interpret,
+                over_idx=over_idx,
+                over_val=over_val,
             )
         return significant_nodes(
             counts,
@@ -352,7 +362,7 @@ class DeviceClassifier:
         u16_needed: list[int] = []
         if rows_pre is not None and rows_pre[0] == "planes":
             lo4, over_idx, over_val, n_over = (
-                np.asarray(a) for a in rows_pre[1:]
+                np.asarray(a) for a in rows_pre[1:5]
             )
             budget = over_idx.shape[1]
             for b in todo:
@@ -375,7 +385,7 @@ class DeviceClassifier:
                     tipp = tables64[b][row[0]]
                     cum = np.concatenate(([0.0], np.cumsum(tipp)))
                 cum_for[b] = cum
-        elif rows_pre is not None:
+        elif rows_pre is not None and rows_pre[0] == "nibble":
             plane, over_idx, over_val, n_over = (
                 np.asarray(a) for a in rows_pre[1:]
             )
@@ -617,6 +627,18 @@ class DeviceClassifier:
 
         labels, seqs, exact, ks, s_max, n_real, counts, hist_dev = state
         B = self.batch_size
+        rows_pre = None
+        if self._planes_mode:
+            # always extract the compressed count representation: the
+            # overflow lists feed the low-bit-mux probs fixup on device,
+            # and the lo4 planes are the (lazily pulled) host wire
+            from ..ops.compress import compress_planes
+
+            rows_pre = ("planes",) + compress_planes(
+                counts, budget=self._over_budget,
+                interpret=self._interpret, spread=self._over_spread,
+            )
+
         hist = np.array(hist_dev)  # sync point: device counts+histogram
         if self.pipeline is not None:
             # padded reference rows count as intersection size 0
@@ -657,27 +679,59 @@ class DeviceClassifier:
             ):
                 signal_risky.append(b)
 
-        vals, vals_lo, idx, n_sig, cum0 = self._significant(
-            counts, table, self._top_k
-        )
-        rows_pre = None
-        if self.descent == "exact" and self._fb_dense:
-            if self._planes_mode:
-                from ..ops.compress import compress_planes
+        if self._planes_mode and n_real:
+            from ..ops.compress import compress_planes
 
+            # Adaptive extraction: incomplete overflow lists would leave
+            # wrong probs on the uncovered tips. Two independent failure
+            # modes, both with sticky fixes (each widening recompiles, so
+            # grow aggressively): more overflow tips than budget slots ->
+            # 4x the budget; hits scattered over more tiles than the
+            # compaction fans in -> 4x the spread.
+            while True:
+                n_over_h = np.asarray(rows_pre[4])
+                cov_h = np.asarray(rows_pre[5])
+                need = np.minimum(n_over_h[:n_real], self._over_budget)
+                if int(n_over_h[:n_real].max(initial=0)) > self._over_budget:
+                    self._over_budget <<= 2
+                    log.debug(
+                        "overflow budget widened to %d", self._over_budget
+                    )
+                elif (cov_h[:n_real] < need).any():
+                    self._over_spread <<= 2
+                    log.debug(
+                        "overflow spread widened to %d", self._over_spread
+                    )
+                else:
+                    break
                 rows_pre = ("planes",) + compress_planes(
-                    counts, interpret=self._interpret
+                    counts, budget=self._over_budget,
+                    interpret=self._interpret, spread=self._over_spread,
                 )
-            elif self.pipeline is None or self.pipeline.backend == "xla":
-                from ..ops.compress import compress_counts
+        elif self.descent == "exact" and self._fb_dense and (
+            self.pipeline is None or self.pipeline.backend == "xla"
+        ):
+            from ..ops.compress import compress_counts
 
-                rows_pre = ("nibble",) + compress_counts(counts)
+            rows_pre = ("nibble",) + compress_counts(counts)
             # (mesh pallas/stream: counts are model-sharded planes; a global
             # compress would all-gather them — marginal queries use the
             # per-site plane gather instead)
-            if rows_pre is not None:
+        vals, vals_lo, idx, n_sig, cum0 = self._significant(
+            counts, table, self._top_k, rows_pre
+        )
+        if rows_pre is not None and rows_pre[0] == "planes":
+            if self.descent == "exact" and self._fb_dense:
+                # dense host replays last batch: prefetch the whole wire
                 for part in rows_pre[1:]:
                     part.copy_to_host_async()
+            else:
+                # device-only use (probs fixup): sparse replays go through
+                # the per-site gather instead of pulling the 4 lo planes
+                rows_pre = ("planes-dev",) + rows_pre[1:]
+        elif rows_pre is not None:
+            for part in rows_pre[1:]:
+                part.copy_to_host_async()
         # start the tunnel transfers now; finalize_batch consumes them after
         # the next batch's submit, so wire time hides behind host work
         for h in (vals, vals_lo, idx, n_sig):
@@ -701,9 +755,9 @@ class DeviceClassifier:
     def _exact_row(self, b: int, counts, rows_pre) -> np.ndarray:
         """One query's exact u16 count row (wire decompress or gather)."""
         num_tips = self.db.num_tips
-        if rows_pre is not None:
+        if rows_pre is not None and rows_pre[0] in ("planes", "nibble"):
             fmt = rows_pre[0]
-            parts = [np.asarray(a) for a in rows_pre[1:]]
+            parts = [np.asarray(a) for a in rows_pre[1:5]]
             budget = parts[1].shape[1]
             if fmt == "planes":
                 from ..ops.compress import decompress_planes_rows
@@ -719,6 +773,7 @@ class DeviceClassifier:
                 )
             if not over:
                 return row[0]
+        # "planes-dev" (device-only wire) and over-budget rows: gather
         return self._gather_u16_rows(counts, [b])[0]
 
     def finalize_batch(self, state) -> list[QueryResult]:
@@ -755,7 +810,7 @@ class DeviceClassifier:
             log.debug("significance overflow: widening top-k to %d", k)
             self._top_k = k
             vals, vals_lo, idx, n_sig, cum0 = self._significant(
-                counts, table, k
+                counts, table, k, rows_pre
             )
             vals = np.asarray(vals)
             vals_lo = np.asarray(vals_lo)

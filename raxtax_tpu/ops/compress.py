@@ -74,11 +74,18 @@ def compress_counts(counts: jax.Array, budget: int = OVER_BUDGET):
     )
 
 
-@partial(jax.jit, static_argnames=("budget", "interpret"))
+@partial(jax.jit, static_argnames=("budget", "interpret", "spread"))
 def compress_planes(planes: jax.Array, budget: int = OVER_BUDGET,
-                    interpret: bool = False):
+                    interpret: bool = False, spread: int = 1):
     """Planes-native wire format: (lo4 u32 [B, 4, S, 128], over_idx i32
-    [B, budget], over_val u16 [B, budget], n_over i32 [B]).
+    [B, budget], over_val u16 [B, budget], n_over i32 [B],
+    covered i32 [B]).
+
+    `n_over` is the EXACT count of tips with count > 15; `covered` is how
+    many the extraction captured. Incomplete extraction happens when the
+    hits scatter across more tiles than the compaction fans in — callers
+    re-run with a larger `spread` (engine: sticky) rather than a larger
+    budget.
 
     The low nibble of every count is *already* bit-sliced in the first four
     Harley-Seal tiers, so it ships as-is (4 bits/tip, zero extra device
@@ -88,7 +95,7 @@ def compress_planes(planes: jax.Array, budget: int = OVER_BUDGET,
     native ``rx_tip_cumsum_planes4``) is exact whenever ``n_over`` fits the
     budget.
     """
-    from .nodeconf import threshold_set
+    from .nodeconf import TOPK_MAX_J, threshold_set, threshold_set_tiled
     from .planes import planes_high_counts, probs_to_tip_order
 
     B = planes.shape[0]
@@ -97,18 +104,32 @@ def compress_planes(planes: jax.Array, budget: int = OVER_BUDGET,
         planes_high_counts(planes, interpret=interpret), 0
     )  # [B, N_pad] i32, 0 where count <= 15
     n = high.shape[1]
-    vals, idx, n_over = threshold_set(
-        high.astype(jnp.float32), 16.0, min(budget, n)
-    )
+    n_over = (high > 0).sum(axis=1).astype(jnp.int32)
+    if n <= TOPK_MAX_J:
+        vals, idx, _ = threshold_set(
+            high.astype(jnp.float32), 16.0, min(budget, n)
+        )
+    else:
+        # fine tiles: overflow hits are one contiguous family block plus
+        # scattered singles, so small tiles keep the candidate pool small
+        vals, idx, _ = threshold_set_tiled(
+            high.astype(jnp.float32), 16.0, min(budget, n), tile=128,
+            spread=spread,
+        )
+    covered = (vals >= 16.0).sum(axis=1).astype(jnp.int32)
     if budget > n:
         vals = jnp.pad(vals, ((0, 0), (0, budget - n)))
         idx = jnp.pad(idx, ((0, 0), (0, budget - n)), constant_values=-1)
-    # ascending-tip order so the host decoder's pointer walk works
+    # ascending-tip order so the host decoder's pointer walk works;
+    # invalid slots get the 2^30 sentinel INDEX so device-side consumers
+    # (the low-bit-mux probs fixup scatter) drop them as out-of-bounds
     sort_key = jnp.where(vals >= 16.0, idx, jnp.int32(2**30))
     order = jnp.argsort(sort_key, axis=1)
-    idx = jnp.take_along_axis(idx, order, axis=1)
+    idx = jnp.take_along_axis(sort_key, order, axis=1)
     vals = jnp.take_along_axis(vals, order, axis=1)
-    return lo4, idx.astype(jnp.int32), vals.astype(jnp.uint16), n_over
+    return (
+        lo4, idx.astype(jnp.int32), vals.astype(jnp.uint16), n_over, covered,
+    )
 
 
 def decode_lo4(lo4_row: np.ndarray, num_tips: int) -> np.ndarray:

@@ -120,15 +120,24 @@ def _dd_sub(x_hi, x_lo, y_hi, y_lo):
     return _two_sum(s, e + x_lo - y_lo)
 
 
-def tip_prob_cumsum_dd(probs: jax.Array):
+def tip_prob_cumsum_dd(probs: jax.Array, interpret: bool | None = None):
     """Double-f32 zero-prefixed cumsum: (cum_hi, cum_lo), each [B, N+1].
 
     `cum_hi` alone is a valid f32 cumsum (used for the descent kernel);
-    hi+lo recombined in f64 tracks the exact prefix sum to ~2^-48.
+    hi+lo recombined in f64 tracks the exact prefix sum to ~2^-48. Lane-
+    aligned widths go through the fused Pallas scan; others through the
+    (slower, multi-pass) XLA associative scan.
     """
-    hi, lo = jax.lax.associative_scan(
-        _dd_add, (probs, jnp.zeros_like(probs)), axis=1
-    )
+    if probs.shape[1] % 128 == 0 and probs.shape[1] > 0:
+        from .planes import dd_cumsum_pallas
+
+        if interpret is None:
+            interpret = jax.devices()[0].platform != "tpu"
+        hi, lo = dd_cumsum_pallas(probs, interpret=interpret)
+    else:
+        hi, lo = jax.lax.associative_scan(
+            _dd_add, (probs, jnp.zeros_like(probs)), axis=1
+        )
     pad = ((0, 0), (1, 0))
     return jnp.pad(hi, pad), jnp.pad(lo, pad)
 
@@ -193,16 +202,42 @@ def significant_nodes_planes(
     node_ends: jax.Array,  # [J] int32 eval-node range ends (exclusive)
     top_k: int = 1024,
     interpret: bool = False,
+    over_idx: jax.Array | None = None,  # [B, budget] i32 tips with count>15
+    over_val: jax.Array | None = None,  # [B, budget] u16 their counts
 ):
     """Planes-native variant of :func:`significant_nodes`: the per-tip
     probabilities come straight from the fused decode+lookup kernel, so no
-    count matrix or one-hot temporaries ever reach HBM."""
+    count matrix or one-hot temporaries ever reach HBM.
+
+    With overflow lists (the compress extraction; must cover EVERY tip with
+    count > 15), the kernel muxes only the low 4 count bits — a 32x
+    shorter select chain — and the rare large-count tips are patched with
+    an exact scatter of table[count]."""
     from .planes import planes_probs, probs_to_tip_order
 
-    probs = probs_to_tip_order(
-        planes_probs(planes, table, interpret=interpret), 0
-    )
-    cum_hi, cum_lo = tip_prob_cumsum_dd(probs)
+    if over_idx is not None:
+        probs = probs_to_tip_order(
+            planes_probs(planes, table, mux_bits=4, interpret=interpret), 0
+        )
+        fixval = jnp.take_along_axis(
+            table, jnp.clip(over_val.astype(jnp.int32), 0, table.shape[1] - 1),
+            axis=1,
+        )
+        rowid = jnp.broadcast_to(
+            jnp.arange(probs.shape[0], dtype=jnp.int32)[:, None],
+            over_idx.shape,
+        )
+        # invalid slots carry the 2^30 sentinel index -> dropped; the
+        # per-row indices are sorted and unique (compress contract)
+        probs = probs.at[rowid, over_idx].set(
+            fixval, mode="drop", unique_indices=True,
+            indices_are_sorted=True,
+        )
+    else:
+        probs = probs_to_tip_order(
+            planes_probs(planes, table, interpret=interpret), 0
+        )
+    cum_hi, cum_lo = tip_prob_cumsum_dd(probs, interpret=interpret)
     conf_hi, conf_lo = node_conf_dd(cum_hi, cum_lo, node_starts, node_ends)
     k = min(top_k, conf_hi.shape[1])
     vals, vals_lo, idx, n_sig = _compact_dd(conf_hi, conf_lo, k)
@@ -241,7 +276,8 @@ SIG_TILE = 512  #: nodes per tile in the two-level compaction
 
 
 def threshold_set_tiled(
-    conf: jax.Array, threshold: float, k: int, tile: int = SIG_TILE
+    conf: jax.Array, threshold: float, k: int, tile: int = SIG_TILE,
+    spread: int = 1,
 ):
     """Two-level threshold compaction for large J.
 
@@ -264,7 +300,9 @@ def threshold_set_tiled(
     mask3 = conf3 >= threshold
     cnt_t = mask3.sum(axis=2).astype(jnp.int32)  # [B, n_t]
     n_sig = cnt_t.sum(axis=1)
-    t_sel = min(n_t, max(8, -(-4 * k // tile)))
+    # `spread` scales the tile fan-in for hit sets scattered over many
+    # tiles (callers widen it when coverage falls short)
+    t_sel = min(n_t, max(8, -(-4 * k * spread // tile)))
     top_cnt, tile_ids = jax.lax.top_k(cnt_t, t_sel)  # hottest tiles
     covered = top_cnt.sum(axis=1)
     gathered = jnp.take_along_axis(
@@ -288,7 +326,8 @@ def threshold_set_tiled(
     return vals, idx, n_sig
 
 
-def threshold_set(conf: jax.Array, threshold: float, k: int):
+def threshold_set(conf: jax.Array, threshold: float, k: int,
+                  spread: int = 1):
     """All above-threshold (value, index) pairs, k-bounded: size-adaptive
     between `lax.top_k` (faster at small J) and the tiled compaction."""
     if conf.shape[1] <= TOPK_MAX_J:
@@ -296,7 +335,7 @@ def threshold_set(conf: jax.Array, threshold: float, k: int):
         vals, idx = jax.lax.top_k(masked, k)
         n_sig = (conf >= threshold).sum(axis=1).astype(jnp.int32)
         return vals, idx.astype(jnp.int32), n_sig
-    return threshold_set_tiled(conf, threshold, k)
+    return threshold_set_tiled(conf, threshold, k, spread=spread)
 
 
 @partial(jax.jit, static_argnames=("chunk", "psum_axis", "vary_axes"))

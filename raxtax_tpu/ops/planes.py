@@ -158,8 +158,8 @@ def planes_histogram(
     return hist.at[:, 0].add(-pad)
 
 
-def _probs_kernel(n_planes: int, s_total: int, st: int):
-    n_vals = 1 << n_planes
+def _probs_kernel(n_planes: int, mux_bits: int, s_total: int, st: int):
+    n_vals = 1 << mux_bits
 
     def kernel(planes_ref, table_ref, out_ref):
         # planes_ref: [1, n_planes, st, 128] u32
@@ -174,15 +174,15 @@ def _probs_kernel(n_planes: int, s_total: int, st: int):
         # 0) or previous-level vectors. 2^P - 1 selects per word-bit, exact
         # f32 (pure selection).
         t = pl.program_id(1)
-        planes = [planes_ref[0, p] for p in range(n_planes)]
+        planes = [planes_ref[0, p] for p in range(mux_bits)]
         leaves = [table_ref[0, 0, v] for v in range(n_vals)]
 
         def per_bit(bit, carry):
             one = jnp.uint32(1)
             b = jnp.uint32(bit)
-            masks = [((planes[p] >> b) & one) != 0 for p in range(n_planes)]
+            masks = [((planes[p] >> b) & one) != 0 for p in range(mux_bits)]
             sel = leaves
-            for p in range(n_planes):
+            for p in range(mux_bits):
                 m = masks[p]
                 sel = [
                     jnp.where(m, sel[2 * i + 1], sel[2 * i])
@@ -196,21 +196,32 @@ def _probs_kernel(n_planes: int, s_total: int, st: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("mux_bits", "interpret"))
 def planes_probs(
     planes: jax.Array,  # [B, P, S, 128] uint32
     table: jax.Array,  # [B, s_max] f32 per-size probabilities
+    mux_bits: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:  # [B, 32, S, 128] f32, bit-major
     """probs[b, bit, s, lane] = table[b, count of tip (s*128+lane)*32+bit].
+
+    `mux_bits` bounds the multiplexer depth: with mux_bits < P the kernel
+    muxes only the low `mux_bits` count bits — EXACT for counts below
+    2^mux_bits, WRONG for the (rare) larger counts, which the caller must
+    fix up from an overflow list (engine: the compress extraction's
+    (tip, count) pairs, scattered over the flat probs). Cuts the dominant
+    select chain from 2^P-1 to 2^mux_bits-1 ops per word-bit.
 
     Tile-padding garbage decodes to arbitrary (finite) table entries; use
     :func:`probs_to_tip_order` to recover the flat [B, N] layout — nothing
     below `num_tips` ever reads the garbage tail.
     """
     B, n_planes, S, lanes = planes.shape
+    if mux_bits is None:
+        mux_bits = n_planes
+    mux_bits = min(mux_bits, n_planes)
     s_max = table.shape[1]
-    n_vals = 1 << n_planes
+    n_vals = 1 << mux_bits
     if s_max < n_vals:
         table = jnp.pad(table, ((0, 0), (0, n_vals - s_max)))
     else:
@@ -218,7 +229,7 @@ def planes_probs(
     st = min(S, 64)
     n_t = pl.cdiv(S, st)
     return pl.pallas_call(
-        _probs_kernel(n_planes, S, st),
+        _probs_kernel(n_planes, mux_bits, S, st),
         grid=(B, n_t),
         in_specs=[
             pl.BlockSpec(
@@ -243,6 +254,109 @@ def planes_probs(
         ),
         interpret=interpret,
     )(planes, table.reshape(B, 1, n_vals))
+
+
+def _dd_add2(a_hi, a_lo, b_hi, b_lo):
+    """TwoSum-compensated double-f32 add (mirrors ops/nodeconf.py)."""
+    s = a_hi + b_hi
+    bb = s - a_hi
+    err = (a_hi - (s - bb)) + (b_hi - bb)
+    return s, err + a_lo + b_lo
+
+
+def _dd_scan_kernel(nr_total: int, rows: int):
+    def kernel(x_ref, hi_ref, lo_ref, c_hi, c_lo):
+        # x_ref: [1, rows, 128] f32 probs tile (element order row-major);
+        # hi/lo_ref: same-shaped cumsum planes; c_hi/c_lo: SMEM carry
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            c_hi[0] = 0.0
+            c_lo[0] = 0.0
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
+        valid = (t * rows + row) < nr_total
+        hi = jnp.where(valid, x_ref[0], 0.0)
+        lo = jnp.zeros_like(hi)
+        # intra-row inclusive scan along lanes (shift-in-zero log steps;
+        # a (0,0) double-f32 add is an exact identity, so no masking)
+        for k in (1, 2, 4, 8, 16, 32, 64):
+            sh_hi = jnp.pad(hi, ((0, 0), (k, 0)))[:, :128]
+            sh_lo = jnp.pad(lo, ((0, 0), (k, 0)))[:, :128]
+            hi, lo = _dd_add2(hi, lo, sh_hi, sh_lo)
+        # row totals -> exclusive row offsets (log steps along sublanes).
+        # Mosaic can't shift 1-lane column vectors, so the totals stay
+        # broadcast across the full 128 lanes.
+        rt_hi = jnp.broadcast_to(hi[:, 127:128], (rows, 128))
+        rt_lo = jnp.broadcast_to(lo[:, 127:128], (rows, 128))
+        k = 1
+        while k < rows:
+            rt_hi2 = jnp.pad(rt_hi, ((k, 0), (0, 0)))[:rows]
+            rt_lo2 = jnp.pad(rt_lo, ((k, 0), (0, 0)))[:rows]
+            rt_hi, rt_lo = _dd_add2(rt_hi, rt_lo, rt_hi2, rt_lo2)
+            k <<= 1
+        off_hi = jnp.pad(rt_hi, ((1, 0), (0, 0)))[:rows]
+        off_lo = jnp.pad(rt_lo, ((1, 0), (0, 0)))[:rows]
+        hi, lo = _dd_add2(hi, lo, off_hi, off_lo)
+        # carry from the previous tiles of this query
+        hi, lo = _dd_add2(hi, lo, c_hi[0], c_lo[0])
+        hi_ref[0] = hi
+        lo_ref[0] = lo
+        c_hi[0] = hi[rows - 1, 127]
+        c_lo[0] = lo[rows - 1, 127]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dd_cumsum_pallas(probs: jax.Array, interpret: bool = False):
+    """Double-f32 inclusive cumsum of [B, N] f32 along axis 1 (N % 128 == 0).
+
+    One fused pass: ~1.5 GB of traffic and a few VPU ops per element,
+    versus the multi-pass XLA associative_scan (59 ms -> ~15 ms per
+    128 x 1M batch). Returns (hi, lo), each [B, N]; float64(hi)+float64(lo)
+    tracks the exact prefix sum to ~2^-48 (ops/nodeconf.py rationale).
+    """
+    B, N = probs.shape
+    assert N % 128 == 0
+    nr = N // 128
+    x = probs.reshape(B, nr, 128)
+    rows = min(nr, 256)
+    n_t = pl.cdiv(nr, rows)
+    hi, lo = pl.pallas_call(
+        _dd_scan_kernel(nr, rows),
+        grid=(B, n_t),
+        in_specs=[
+            pl.BlockSpec(
+                (1, rows, 128), lambda b, t: (b, t, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, rows, 128), lambda b, t: (b, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, rows, 128), lambda b, t: (b, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nr, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, nr, 128), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.float32),
+            pltpu.SMEM((1,), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(x)
+    return hi.reshape(B, N), lo.reshape(B, N)
 
 
 @jax.jit

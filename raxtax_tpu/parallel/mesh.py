@@ -442,7 +442,7 @@ class ShardedPipeline:
             probs = probs_to_tip_order(
                 planes_probs(planes_l, table_l, interpret=interpret), 0
             )  # [B_l, n_local]
-            cum_hi, cum_lo = tip_prob_cumsum_dd(probs)
+            cum_hi, cum_lo = tip_prob_cumsum_dd(probs, interpret=interpret)
             lo = jax.lax.axis_index("model") * n_local
             s = jnp.clip(starts - lo, 0, n_local)
             e = jnp.clip(ends - lo, 0, n_local)

@@ -62,7 +62,7 @@ def test_basic_run(world):
     assert (out / "raxtax.ckp").is_file()
     assert (out / "raxtax.json").is_file()
     # binary DB was created and is loadable
-    dbs = list(out.glob("*.bin.npz"))
+    dbs = list(out.glob("*.bin.rxdb"))
     assert len(dbs) == 1
     # progress file lists all queries in completion order
     ckp = (out / "raxtax.ckp").read_text().strip().split("\n")
@@ -146,7 +146,7 @@ def test_flag_change_invalidates_checkpoint(world, monkeypatch):
 def test_only_db_and_reuse(world):
     ref, q, out = world
     assert main(["-d", str(ref), "-o", str(out), "--only-db", "--backend", "oracle"]) == 0
-    dbs = list(out.glob("*.bin.npz"))
+    dbs = list(out.glob("*.bin.rxdb"))
     assert len(dbs) == 1
     assert not (out / "raxtax.out").exists() or not (out / "raxtax.out").read_text()
     # second run resumes from the binary DB (checkpoint points at it)
@@ -159,14 +159,14 @@ def test_clean_removes_artifacts(world):
     assert run_cli(ref, q, out, "--clean") == 0
     assert not (out / "raxtax.json").exists()
     assert not (out / "raxtax.ckp").exists()
-    assert not list(out.glob("*.bin.npz"))
+    assert not list(out.glob("*.bin.rxdb"))
     assert (out / "raxtax.out").is_file()
 
 
 def test_skip_db(world):
     ref, q, out = world
     assert run_cli(ref, q, out, "--skip-db") == 0
-    assert not list(out.glob("*.bin.npz"))
+    assert not list(out.glob("*.bin.rxdb"))
 
 
 def test_missing_query_file(world):
@@ -231,7 +231,7 @@ def test_shard_consolidation_resume(world, monkeypatch):
     (out / "raxtax.ckp.shard1").write_text("q3\n")
     import json as _json
 
-    db_path = list(ref_out.glob("*.bin.npz"))
+    db_path = list(ref_out.glob("*.bin.rxdb"))
     for k in (0, 1):
         (out / f"raxtax.json.shard{k}").write_text(
             _json.dumps(

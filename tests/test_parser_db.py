@@ -134,6 +134,38 @@ def test_db_roundtrip(tmp_path):
     np.testing.assert_array_equal(db2.taxonomy.node_type, db.taxonomy.node_type)
 
 
+def test_db_v1_npz_still_loads(tmp_path):
+    """Round-1 npz caches remain loadable (forward compatibility)."""
+    records = parse_reference_fasta_str(REF_FASTA)
+    db = build_database(records.lineages, records.sequences)
+    tax = db.taxonomy
+    path = tmp_path / "old.npz"
+    np.savez(
+        path,
+        magic=np.array("raxtax-tpu-db"),
+        version=np.array(1),
+        lineage_blob=np.frombuffer(
+            "\n".join(tax.lineages).encode(), dtype=np.uint8
+        ),
+        label_blob=np.frombuffer(
+            "\n".join(tax.labels).encode(), dtype=np.uint8
+        ),
+        parent=tax.parent,
+        depth=tax.depth,
+        range_start=tax.range_start,
+        range_end=tax.range_end,
+        node_type=tax.node_type,
+        num_tips=np.array(tax.num_tips),
+        ref_major=db.ref_major,
+        kmer_major=db.kmer_major,
+        seq_flat=db.seq_flat,
+        seq_offsets=db.seq_offsets,
+    )
+    db2 = load_database(path)
+    assert db2.taxonomy.lineages == db.taxonomy.lineages
+    assert (np.asarray(db2.kmer_major) == db.kmer_major).all()
+
+
 def test_gzip_reference_fasta(tmp_path):
     """Gzipped FASTA input is read transparently (src/utils.rs:42-60)."""
     import gzip

@@ -105,3 +105,19 @@ def test_planes_histogram_ragged_tail():
         np.testing.assert_array_equal(
             hist[b], np.bincount(counts[b], minlength=32)
         )
+
+
+def test_dd_cumsum_pallas_tracks_exact_sum():
+    from raxtax_tpu.ops.planes import dd_cumsum_pallas
+
+    rng = np.random.default_rng(5)
+    B, N = 3, 128 * 70  # ragged tile tail (70 rows, tile=256)
+    probs = (rng.random((B, N)) * 1e-3).astype(np.float32)
+    probs[:, 0] = 1.0  # large head: a naive f32 scan loses precision
+    hi, lo = dd_cumsum_pallas(jnp.asarray(probs), interpret=True)
+    got = np.asarray(hi, np.float64) + np.asarray(lo, np.float64)
+    exact = np.cumsum(probs.astype(np.float64), axis=1)
+    np.testing.assert_allclose(got, exact, rtol=0, atol=1e-7 * N)
+    # and the recombined value is far tighter than a plain f32 scan
+    naive = np.cumsum(probs, axis=1, dtype=np.float32).astype(np.float64)
+    assert np.abs(got - exact).max() < np.abs(naive - exact).max() / 50
