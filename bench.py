@@ -32,9 +32,12 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-N_REFS = int(os.environ.get("RAXTAX_BENCH_REFS", 65536))
-N_QUERIES = int(os.environ.get("RAXTAX_BENCH_QUERIES", 4096))
-BATCH = int(os.environ.get("RAXTAX_BENCH_BATCH", 256))
+# Default = the BASELINE.md headline configuration: 1M-reference COI-like
+# database, queries/s/chip (VERDICT round-1 item 1 targets this scale).
+# Override with RAXTAX_BENCH_REFS=65536 etc. for the smaller sweeps.
+N_REFS = int(os.environ.get("RAXTAX_BENCH_REFS", 1_000_000))
+N_QUERIES = int(os.environ.get("RAXTAX_BENCH_QUERIES", 2048))
+BATCH = int(os.environ.get("RAXTAX_BENCH_BATCH", 0))
 BACKEND = os.environ.get("RAXTAX_BENCH_BACKEND", "auto")
 ORACLE_QUERIES = int(os.environ.get("RAXTAX_BENCH_ORACLE_QUERIES", 16))
 SEQ_LEN = 400
@@ -103,7 +106,9 @@ def measure_tpu(db, queries) -> float:
     from raxtax_tpu.utils.jaxcfg import setup_jax
 
     setup_jax()
-    clf = DeviceClassifier.create(db, backend=BACKEND, batch_size=BATCH)
+    clf = DeviceClassifier.create(
+        db, backend=BACKEND, batch_size=BATCH or None
+    )
     log(f"backend={clf.backend} batch={clf.batch_size}")
     t0 = time.time()
     clf._fb_dense = True  # compile the compressed-prefetch path too

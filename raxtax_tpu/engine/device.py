@@ -274,6 +274,10 @@ class DeviceClassifier:
 
             self.kmer_major = prepare_kmer_major(db)
             self._interpret = jax.devices()[0].platform != "tpu"
+            # scale-aware initial overflow budget (sticky, widens 4x):
+            # overflow tips track the closest-clade size, which grows with
+            # the database
+            self._over_budget = max(512, min(4096, db.num_tips // 256))
         elif mesh is None and backend == "stream":
             import jax
 

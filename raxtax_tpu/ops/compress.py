@@ -95,7 +95,7 @@ def compress_planes(planes: jax.Array, budget: int = OVER_BUDGET,
     native ``rx_tip_cumsum_planes4``) is exact whenever ``n_over`` fits the
     budget.
     """
-    from .nodeconf import TOPK_MAX_J, threshold_set, threshold_set_tiled
+    from .nodeconf import threshold_set, threshold_set_tiled
     from .planes import planes_high_counts, probs_to_tip_order
 
     B = planes.shape[0]
@@ -105,13 +105,14 @@ def compress_planes(planes: jax.Array, budget: int = OVER_BUDGET,
     )  # [B, N_pad] i32, 0 where count <= 15
     n = high.shape[1]
     n_over = (high > 0).sum(axis=1).astype(jnp.int32)
-    if n <= TOPK_MAX_J:
+    if n <= 4096:
         vals, idx, _ = threshold_set(
             high.astype(jnp.float32), 16.0, min(budget, n)
         )
     else:
         # fine tiles: overflow hits are one contiguous family block plus
-        # scattered singles, so small tiles keep the candidate pool small
+        # scattered singles, so small tiles keep the candidate pool tiny —
+        # a flat top_k would full-sort the whole row every batch
         vals, idx, _ = threshold_set_tiled(
             high.astype(jnp.float32), 16.0, min(budget, n), tile=128,
             spread=spread,
