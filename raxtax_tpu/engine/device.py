@@ -220,13 +220,14 @@ class DeviceClassifier:
         tax = db.taxonomy
         eval_ids = tax.eval_ids
         if not batch_size:
-            # HBM-aware batch auto-sizing: the pipeline keeps ~8 [B, N]-class
-            # f32/i32 buffers live (counts, cum0, prob gather, eval-node
-            # conf), so bound their footprint to ~7.5 GiB and leave the rest
-            # for the resident bit matrix (measured on v5e-16G: batch 128 at
-            # 1M refs fits alongside the 8.2 GB postings matrix — 247
-            # q/s/chip vs 179 at batch 64).
-            per_query = (db.num_tips + tax.eval_ids.shape[0]) * 4 * 6
+            # HBM-aware batch auto-sizing for the planes pipeline: per query
+            # the live set is ~9 bytes/tip (counter planes + double-f32 cum
+            # pair + transients) plus ~24 bytes/eval-node (double-f32 conf
+            # pair and compaction temporaries), times ~2 batches in flight.
+            # Bound to ~7.5 GiB, leaving the rest for the resident postings
+            # matrix (v5e-16G at 1M refs: batch 128 fits beside the 8.2 GB
+            # matrix and outruns batch 64 by ~40%).
+            per_query = 9 * db.num_tips + 24 * tax.eval_ids.shape[0]
             batch_size = max(32, min(256, (15 << 29) // max(per_query, 1)))
             batch_size = 1 << (batch_size.bit_length() - 1)  # floor pow2
         self = cls(
