@@ -165,18 +165,6 @@ def prepare_kmer_major(db) -> jax.Array:
     return jnp.asarray(km)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("num_tips", "n_high", "interpret")
-)
-def _counts_once(kmer_idx, kmer_major, num_tips, n_high, interpret):
-    rows = kmer_major[kmer_idx.reshape(-1)]  # XLA gather, [B*K_pad, Nw']
-    rows = rows.reshape(rows.shape[0], -1, LANE)  # tile the gathered rows
-    planes = _hs_planes(
-        rows, batch=kmer_idx.shape[0], n_high=n_high, interpret=interpret
-    )
-    return _planes_to_counts(planes, num_tips)
-
-
 @functools.partial(jax.jit, static_argnames=("n_high", "interpret"))
 def _planes_once(kmer_idx, kmer_major, n_high, interpret):
     rows = kmer_major[kmer_idx.reshape(-1)]  # XLA gather, [B*K_pad, Nw']

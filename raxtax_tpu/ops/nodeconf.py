@@ -78,16 +78,6 @@ def gather_table(counts: jax.Array, table: jax.Array) -> jax.Array:
     return ps.transpose(1, 0, 2).reshape(B, -1)[:, :N]
 
 
-def tip_prob_cumsum(counts: jax.Array, table: jax.Array) -> jax.Array:
-    """[B, N+1] f32 zero-prefixed cumsum of per-tip probabilities.
-
-    probs[b, n] = table[b, counts[b, n]] — the per-size probability of the
-    intersection count of reference n (reference: src/lineage.rs:62-67).
-    """
-    probs = gather_table(counts, table)
-    return jnp.pad(jnp.cumsum(probs, axis=1), ((0, 0), (1, 0)))
-
-
 # -- compensated double-f32 arithmetic ---------------------------------
 #
 # TPU hardware is f32; the reference's confidences are f64 (sequential

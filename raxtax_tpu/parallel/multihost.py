@@ -5,7 +5,7 @@ TPU-native framework scales across hosts with `jax.distributed`: every host
 runs the same program, the global ('data','model') mesh spans all chips, and
 each host feeds its own slice of the query stream (data-parallel at the host
 level). Outputs are written as per-host shards with a deterministic order
-and merged by `merge_output_shards` (host 0 or any later invocation), which
+and folded by `consolidate_artifacts` (host 0, or any later resume), which
 preserves the reference's single-file, query-ordered artifact contract.
 
 Single-host runs are the n_processes == 1 degenerate case throughout, so all
