@@ -106,6 +106,21 @@ def gather_plane_rows(planes, fb_queries: list[int]) -> np.ndarray:
     return out
 
 
+def _gather_wire_rows(rows_pre, queries: list[int]):
+    """Pull the compressed-wire rows of the selected queries from the
+    device-resident parts (lo4, over_idx, over_val, n_over)."""
+    import jax.numpy as jnp
+
+    m = len(queries)
+    m_pad = max(8, 1 << (m - 1).bit_length())
+    idx = np.zeros(m_pad, np.int32)
+    idx[:m] = queries
+    take = _gather_rows_raw()
+    out = [np.asarray(take(part, jnp.asarray(idx)))[:m]
+           for part in rows_pre[1:5]]
+    return out[0], out[1], out[2], out[3]
+
+
 _GATHER_JIT = None
 _GATHER_RAW_JIT = None
 
@@ -365,25 +380,35 @@ class DeviceClassifier:
         num_tips = self.db.num_tips
         todo = [b for b in queries if b not in cum_for]
         u16_needed: list[int] = []
-        if rows_pre is not None and rows_pre[0] == "planes":
-            lo4, over_idx, over_val, n_over = (
-                np.asarray(a) for a in rows_pre[1:5]
-            )
+        if rows_pre is not None and rows_pre[0] in ("planes", "planes-dev"):
+            if rows_pre[0] == "planes":  # host-prefetched wire
+                lo4, over_idx, over_val, n_over = (
+                    np.asarray(a) for a in rows_pre[1:5]
+                )
+                rows_sel = todo
+            else:
+                # device-resident wire: gather just the needed queries'
+                # lo4 planes + overflow lists (4/9 of the full plane rows
+                # the raw gather would pull over the tunnel)
+                lo4, over_idx, over_val, n_over = _gather_wire_rows(
+                    rows_pre, todo
+                )
+                rows_sel = list(range(len(todo)))
             budget = over_idx.shape[1]
-            for b in todo:
-                n = int(n_over[b])
+            for b, bb in zip(todo, rows_sel):
+                n = int(n_over[bb])
                 if n > budget:  # rare: overflow list didn't fit
                     u16_needed.append(b)
                     continue
                 cum = native.tip_cumsum_planes4(
-                    lo4[b], over_idx[b], over_val[b], n,
+                    lo4[bb], over_idx[bb], over_val[bb], n,
                     tables64[b], num_tips,
                 )
                 if cum is None:  # no native lib: numpy decompress path
                     from ..ops.compress import decompress_planes_rows
 
                     row, over = decompress_planes_rows(
-                        lo4, over_idx, over_val, n_over, [b], num_tips,
+                        lo4, over_idx, over_val, n_over, [bb], num_tips,
                         budget=budget,
                     )
                     assert not over
