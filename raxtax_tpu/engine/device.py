@@ -206,6 +206,9 @@ class DeviceClassifier:
     _over_budget: int = field(default=4096, repr=False)
     #: sticky tile fan-in multiplier for the overflow extraction
     _over_spread: int = field(default=1, repr=False)
+    #: sticky high-water shape buckets (see submit_batch)
+    _k_pad_hw: int = field(default=0, repr=False)
+    _s_max_hw: int = field(default=0, repr=False)
     #: run Pallas kernels in interpreter mode (non-TPU devices)
     _interpret: bool = field(default=False, repr=False)
     #: --debug-checks: validate device-stage invariants on the (small)
@@ -585,17 +588,25 @@ class DeviceClassifier:
         exact = [self.db.exact_matches(s) for s in seqs]
 
         query_bits = pack_query_kmers(kmer_sets)
-        # coarse shape buckets: mixed-length query streams would otherwise
-        # recompile the count kernels on every batch whose max k-mer count
-        # shifts slightly
+        # Sticky high-water shape buckets: mixed-length query streams would
+        # otherwise recompile the whole kernel set on every batch whose max
+        # k-mer count shifts buckets (on this platform a fresh Mosaic shape
+        # costs MINUTES through the remote compile service, and its results
+        # barely cache across processes). The pad level only ever grows, so
+        # a run compiles one kernel set plus at most a few regrows; the
+        # padded k-mer slots are all-zero gather rows (cheap no-ops).
         k_max = max((k.size for k in kmer_sets), default=1) or 1
         k_pad = _round_up(k_max, 32 if k_max <= 128 else 128)
+        k_pad = max(k_pad, self._k_pad_hw)
+        self._k_pad_hw = k_pad
         kmer_idx = np.full((B, k_pad), 0x10000, dtype=np.int32)
         for i, km in enumerate(kmer_sets):
             kmer_idx[i, : km.size] = km
 
         ks = [int(k.size) for k in kmer_sets]
         s_max = _round_up(max(ks) + 1, 128)
+        s_max = max(s_max, self._s_max_hw)
+        self._s_max_hw = s_max
         e_pad = (
             max((len(e) for e in exact), default=0)
             if self.skip_exact_matches
