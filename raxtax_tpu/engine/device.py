@@ -108,7 +108,7 @@ def gather_plane_rows(planes, fb_queries: list[int]) -> np.ndarray:
 
 def _gather_wire_rows(rows_pre, queries: list[int]):
     """Pull the compressed-wire rows of the selected queries from the
-    device-resident parts (lo4, over_idx, over_val, n_over)."""
+    device-resident parts (lo4, over_idx, over_val, n_over, covered)."""
     import jax.numpy as jnp
 
     m = len(queries)
@@ -117,8 +117,8 @@ def _gather_wire_rows(rows_pre, queries: list[int]):
     idx[:m] = queries
     take = _gather_rows_raw()
     out = [np.asarray(take(part, jnp.asarray(idx)))[:m]
-           for part in rows_pre[1:5]]
-    return out[0], out[1], out[2], out[3]
+           for part in rows_pre[1:6]]
+    return out[0], out[1], out[2], out[3], out[4]
 
 
 _GATHER_JIT = None
@@ -202,10 +202,20 @@ class DeviceClassifier:
     _replayed_queries: set = field(default_factory=set, repr=False)
     #: sticky significance-compaction width (grows on overflow)
     _top_k: int = field(default=TOP_K, repr=False)
-    #: sticky overflow-list budget for the compressed representation
+    #: FIXED overflow-list budget for the compressed representation (set
+    #: once per database at create(); never resized — resizing would change
+    #: kernel shapes mid-run, and a fresh Mosaic shape costs minutes
+    #: through this platform's remote compile service)
     _over_budget: int = field(default=4096, repr=False)
-    #: sticky tile fan-in multiplier for the overflow extraction
-    _over_spread: int = field(default=1, repr=False)
+    #: FIXED tile fan-in multiplier for the overflow extraction
+    _over_spread: int = field(default=2, repr=False)
+    #: sticky dense-count mode: real conserved-marker data (e.g. COI) gives
+    #: nearly every tip an intersection count > 15, so the lo4+overflow
+    #: extraction can never cover it. When a batch's overflow exceeds the
+    #: fixed budget/coverage, probabilities switch permanently to the
+    #: full-width multiplexer (exact for every count, no overflow lists) —
+    #: a second precompiled kernel variant, not a new shape.
+    _mux_dense: bool = field(default=False, repr=False)
     #: sticky high-water shape buckets (see submit_batch)
     _k_pad_hw: int = field(default=0, repr=False)
     _s_max_hw: int = field(default=0, repr=False)
@@ -293,9 +303,10 @@ class DeviceClassifier:
 
             self.kmer_major = prepare_kmer_major(db)
             self._interpret = jax.devices()[0].platform != "tpu"
-            # scale-aware initial overflow budget (sticky, widens 4x):
-            # overflow tips track the closest-clade size, which grows with
-            # the database
+            # scale-aware FIXED overflow budget: overflow tips track the
+            # closest-clade size, which grows with the database. Workloads
+            # that exceed it switch to the full-width mux (see _mux_dense)
+            # instead of widening — shapes never change mid-run.
             self._over_budget = max(512, min(4096, db.num_tips // 256))
         elif mesh is None and backend == "stream":
             import jax
@@ -385,22 +396,23 @@ class DeviceClassifier:
         u16_needed: list[int] = []
         if rows_pre is not None and rows_pre[0] in ("planes", "planes-dev"):
             if rows_pre[0] == "planes":  # host-prefetched wire
-                lo4, over_idx, over_val, n_over = (
-                    np.asarray(a) for a in rows_pre[1:5]
+                lo4, over_idx, over_val, n_over, covered = (
+                    np.asarray(a) for a in rows_pre[1:6]
                 )
                 rows_sel = todo
             else:
                 # device-resident wire: gather just the needed queries'
                 # lo4 planes + overflow lists (4/9 of the full plane rows
                 # the raw gather would pull over the tunnel)
-                lo4, over_idx, over_val, n_over = _gather_wire_rows(
+                lo4, over_idx, over_val, n_over, covered = _gather_wire_rows(
                     rows_pre, todo
                 )
                 rows_sel = list(range(len(todo)))
             budget = over_idx.shape[1]
             for b, bb in zip(todo, rows_sel):
                 n = int(n_over[bb])
-                if n > budget:  # rare: overflow list didn't fit
+                if n > budget or int(covered[bb]) < n:
+                    # overflow list didn't fit / extraction didn't cover
                     u16_needed.append(b)
                     continue
                 cum = native.tip_cumsum_planes4(
@@ -669,10 +681,12 @@ class DeviceClassifier:
         labels, seqs, exact, ks, s_max, n_real, counts, hist_dev = state
         B = self.batch_size
         rows_pre = None
-        if self._planes_mode:
-            # always extract the compressed count representation: the
-            # overflow lists feed the low-bit-mux probs fixup on device,
-            # and the lo4 planes are the (lazily pulled) host wire
+        if self._planes_mode and not self._mux_dense:
+            # extract the compressed count representation: the overflow
+            # lists feed the low-bit-mux probs fixup on device, and the lo4
+            # planes are the (lazily pulled) host wire. Skipped entirely in
+            # dense-count mode (full-width mux needs no fixup; host replays
+            # gather raw u16 rows instead).
             from ..ops.compress import compress_planes
 
             rows_pre = ("planes",) + compress_planes(
@@ -720,37 +734,20 @@ class DeviceClassifier:
             ):
                 signal_risky.append(b)
 
-        if self._planes_mode and n_real:
-            from ..ops.compress import compress_planes
-
-            # Adaptive extraction: incomplete overflow lists would leave
-            # wrong probs on the uncovered tips. Two independent failure
-            # modes, both with sticky fixes (each widening recompiles, so
-            # grow aggressively): more overflow tips than budget slots ->
-            # 4x the budget; hits scattered over more tiles than the
-            # compaction fans in -> 4x the spread.
-            while True:
-                n_over_h = np.asarray(rows_pre[4])
-                cov_h = np.asarray(rows_pre[5])
-                need = np.minimum(n_over_h[:n_real], self._over_budget)
-                if int(n_over_h[:n_real].max(initial=0)) > self._over_budget:
-                    self._over_budget <<= 2
-                    log.debug(
-                        "overflow budget widened to %d", self._over_budget
-                    )
-                elif (cov_h[:n_real] < need).any():
-                    self._over_spread <<= 2
-                    log.debug(
-                        "overflow spread widened to %d", self._over_spread
-                    )
-                else:
-                    break
-                rows_pre = ("planes",) + compress_planes(
-                    counts, budget=self._over_budget,
-                    interpret=self._interpret, spread=self._over_spread,
-                )
-        elif self.descent == "exact" and self._fb_dense and (
-            self.pipeline is None or self.pipeline.backend == "xla"
+        if rows_pre is not None and rows_pre[0] == "planes":
+            # adequacy stats: incomplete overflow lists would leave wrong
+            # probs on the uncovered tips. The shapes are FIXED, so instead
+            # of widening (a minutes-long recompile per new shape on this
+            # platform) finalize_batch checks these and — at most once per
+            # run — redoes the batch's significance with the full-width
+            # mux and flips the sticky dense-count mode.
+            rows_pre[4].copy_to_host_async()  # n_over
+            rows_pre[5].copy_to_host_async()  # covered
+        elif (
+            not self._planes_mode
+            and self.descent == "exact"
+            and self._fb_dense
+            and (self.pipeline is None or self.pipeline.backend == "xla")
         ):
             from ..ops.compress import compress_counts
 
@@ -803,9 +800,16 @@ class DeviceClassifier:
             if fmt == "planes":
                 from ..ops.compress import decompress_planes_rows
 
-                row, over = decompress_planes_rows(
-                    *parts, [b], num_tips, budget=budget
-                )
+                # the tiled extraction can also under-COVER (hits scattered
+                # past the tile fan-in): such rows must go to the gather
+                covered = np.asarray(rows_pre[5])
+                if int(covered[b]) < min(int(parts[3][b]), budget):
+                    over = True
+                    row = None
+                else:
+                    row, over = decompress_planes_rows(
+                        *parts, [b], num_tips, budget=budget
+                    )
             else:
                 from ..ops.compress import decompress_rows
 
@@ -825,6 +829,39 @@ class DeviceClassifier:
             tables64, global_signals, vals, vals_lo, idx, n_sig, rows_pre,
             table, signal_risky,
         ) = state
+        sig_rows = rows_pre  # wire feeding _significant's probs fixup
+        if (
+            rows_pre is not None
+            and rows_pre[0] in ("planes", "planes-dev")
+            and n_real
+            and not self._mux_dense
+        ):
+            # Overflow-extraction adequacy (stats were async-copied in
+            # prepare_batch): any query whose count>15 tips exceed the fixed
+            # budget — or scattered past the compaction's tile fan-in — got
+            # WRONG device probabilities from the low-bit-mux fixup. Redo
+            # this batch's significance with the full-width mux (exact for
+            # every count, no overflow lists) and stay in dense-count mode:
+            # real conserved-marker data (COI-like) overflows on every
+            # batch, and the fixed shapes mean both kernel variants compile
+            # exactly once per process.
+            n_over_h = np.asarray(rows_pre[4])[:n_real]
+            cov_h = np.asarray(rows_pre[5])[:n_real]
+            budget = rows_pre[2].shape[1]
+            if (n_over_h > budget).any() or (
+                cov_h < np.minimum(n_over_h, budget)
+            ).any():
+                self._mux_dense = True
+                log.info(
+                    "dense intersection profile (max %d tips over the "
+                    "%d-slot overflow budget): switching to the "
+                    "full-width probability mux",
+                    int(n_over_h.max(initial=0)), budget,
+                )
+                sig_rows = None  # inadequate wire must not feed the mux
+                vals, vals_lo, idx, n_sig, cum0 = self._significant(
+                    counts, table, self._top_k, sig_rows
+                )
         # boundary-risk replay of the global signal in the reference's
         # sequential tip order (src/lineage.rs:86-90)
         if signal_risky:
@@ -851,7 +888,7 @@ class DeviceClassifier:
             log.debug("significance overflow: widening top-k to %d", k)
             self._top_k = k
             vals, vals_lo, idx, n_sig, cum0 = self._significant(
-                counts, table, k, rows_pre
+                counts, table, k, sig_rows
             )
             vals = np.asarray(vals)
             vals_lo = np.asarray(vals_lo)

@@ -272,3 +272,41 @@ def test_debug_checks_pass_and_trip(small_world, monkeypatch):
     )
     with pytest.raises(AssertionError, match="histogram mass"):
         dev2.classify_batch(queries[:8])
+
+
+def test_dense_overflow_switches_to_full_mux(family_world):
+    """Real conserved-marker data gives nearly every tip a count > 15; the
+    fixed overflow budget can never cover it. The engine must switch to the
+    full-width probability mux (sticky) instead of widening kernel shapes,
+    with outputs still byte-identical to the oracle."""
+    db, queries = family_world
+    oracle = OracleClassifier(db)
+    dev = DeviceClassifier.create(db, backend="pallas", batch_size=8)
+    dev._over_budget = 2  # force inadequacy on the first batch
+    dev._top_k = 2  # ...and significance overflow: the widening re-run
+    # must use the full mux too, not the inadequate overflow wire
+    assert not dev._mux_dense
+    for start in range(0, len(queries), 8):
+        chunk = queries[start : start + 8]
+        got = dev.classify_batch(chunk)
+        for (label, seq), qr in zip(chunk, got):
+            assert render(qr) == render(oracle.classify(label, seq)), label
+    assert dev._mux_dense  # flipped and sticky
+
+
+def test_under_covered_wire_replays_via_gather(family_world):
+    """A query whose overflow list under-COVERS (scattered hits past the
+    tile fan-in) must take the u16-gather replay path, not decode a wrong
+    row. Forced signal replay exercises _exact_row for every query."""
+    db, queries = family_world
+    oracle = OracleClassifier(db)
+    dev = DeviceClassifier.create(db, backend="pallas", batch_size=8)
+    dev._force_signal_replay = True
+    dev._fb_dense = True
+    dev._over_budget = 2  # under-budget AND under-covered wires
+    for start in range(0, len(queries), 8):
+        chunk = queries[start : start + 8]
+        dev._fb_dense = True
+        got = dev.classify_batch(chunk)
+        for (label, seq), qr in zip(chunk, got):
+            assert render(qr) == render(oracle.classify(label, seq)), label
