@@ -428,7 +428,6 @@ int rx_evaluate(
     struct SigChild { int32_t parent, child; double rounded; };
     std::vector<SigChild> entries;
     entries.reserve(n_sig);
-    std::vector<double> rounded_of(n_sig);
     for (int64_t i = 0; i < n_sig; ++i) {
         double r = round2_away(sig_vals[i]);
         if (r == 0.0 || sig_nodes[i] == 0) continue;

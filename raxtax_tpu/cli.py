@@ -188,15 +188,18 @@ def main(argv: list[str] | None = None) -> int:
     # artifacts (out/tsv/ckp/log/json) into the merged single-file set
     # before opening this run's writers, so completed work is never redone
     # or clobbered. Host 0 consolidates; others wait at the barrier.
-    if not args.redo and Path(args.prefix).is_dir():
-        if proc_count > 1:
-            from jax.experimental import multihost_utils
+    if proc_count > 1:
+        # The barrier is UNCONDITIONAL: keying it on each host's local
+        # is_dir()/redo view would let hosts disagree (racing mkdir, or
+        # non-shared filesystems) and meet differently-named sync points —
+        # a deterministic distributed hang.
+        from jax.experimental import multihost_utils
 
-            if proc_idx == 0:
-                consolidate_artifacts(Path(args.prefix))
-            multihost_utils.sync_global_devices("raxtax-consolidate")
-        else:
+        if proc_idx == 0 and not args.redo and Path(args.prefix).is_dir():
             consolidate_artifacts(Path(args.prefix))
+        multihost_utils.sync_global_devices("raxtax-consolidate")
+    elif not args.redo and Path(args.prefix).is_dir():
+        consolidate_artifacts(Path(args.prefix))
 
     try:
         writers, checkpoint = get_output(args)

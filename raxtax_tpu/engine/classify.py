@@ -66,6 +66,7 @@ def make_classifier(db: Database, args):
         mesh=mesh,
         descent=getattr(args, "descent", "exact"),
         debug_checks=getattr(args, "debug_checks", False),
+        tsv=getattr(args, "tsv", True),
     )
 
 

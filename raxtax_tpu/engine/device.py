@@ -95,15 +95,9 @@ def gather_plane_rows(planes, fb_queries: list[int]) -> np.ndarray:
     idx = np.zeros(m_pad, np.int32)
     idx[:m] = fb_queries
     sel = np.asarray(_gather_rows_raw()(planes, jnp.asarray(idx)))[:m]
-    n_planes = sel.shape[1]
-    w = sel.reshape(m, n_planes, -1)
-    bits = np.unpackbits(
-        w.astype("<u4").view(np.uint8), axis=2, bitorder="little"
-    )  # [m, P, N_pad]
-    out = np.zeros((m, bits.shape[2]), np.uint16)
-    for p in range(n_planes):
-        out |= bits[:, p].astype(np.uint16) << p
-    return out
+    from ..ops.compress import decode_plane_rows
+
+    return decode_plane_rows(sel)
 
 
 def _gather_wire_rows(rows_pre, queries: list[int]):
@@ -188,6 +182,9 @@ class DeviceClassifier:
     #: when fallbacks are dense, but exact argmax ties can resolve
     #: differently than the reference's f64 rounding.
     descent: str = "exact"
+    #: whether the run emits raxtax.tsv — when False the native evaluator
+    #: skips TSV formatting and the sequence decompression that feeds it
+    tsv: bool = True
     # device-resident state
     pipeline: object = field(repr=False, default=None)  #: ShardedPipeline | None
     ref_bits: object = field(repr=False, default=None)
@@ -238,6 +235,7 @@ class DeviceClassifier:
         mesh=None,
         descent: str = "exact",
         debug_checks: bool = False,
+        tsv: bool = True,
     ) -> "DeviceClassifier":
         import jax.numpy as jnp
 
@@ -255,7 +253,13 @@ class DeviceClassifier:
             # Bound to ~7.5 GiB, leaving the rest for the resident postings
             # matrix (v5e-16G at 1M refs: batch 128 fits beside the 8.2 GB
             # matrix and outruns batch 64 by ~40%).
-            per_query = 9 * db.num_tips + 24 * tax.eval_ids.shape[0]
+            # The dense-count backends (xla, and any mesh whose shards fall
+            # back to xla) materialize f32 counts [B, N] plus one-hot gather
+            # temporaries and the double-f32 cum pair — ~32 bytes/tip live
+            # across the two in-flight batches, not the planes profile.
+            dense_counts = backend not in ("pallas", "stream")
+            per_tip = 32 if dense_counts else 9
+            per_query = per_tip * db.num_tips + 24 * tax.eval_ids.shape[0]
             batch_size = max(32, min(256, (15 << 29) // max(per_query, 1)))
             batch_size = 1 << (batch_size.bit_length() - 1)  # floor pow2
         self = cls(
@@ -266,6 +270,7 @@ class DeviceClassifier:
             batch_size=batch_size,
             descent=descent,
             debug_checks=debug_checks,
+            tsv=tsv,
         )
         if mesh is not None:
             from ..parallel.mesh import ShardedPipeline
@@ -674,10 +679,6 @@ class DeviceClassifier:
         had dense fallbacks, prefetch the u16 count rows). No device results
         are pulled, so a following phase-A dispatch of the next batch queues
         behind this batch's device work — never in front of its pulls."""
-        import jax.numpy as jnp
-
-        from ..ops.nodeconf import significant_nodes
-
         labels, seqs, exact, ks, s_max, n_real, counts, hist_dev = state
         B = self.batch_size
         rows_pre = None
@@ -834,8 +835,12 @@ class DeviceClassifier:
             rows_pre is not None
             and rows_pre[0] in ("planes", "planes-dev")
             and n_real
-            and not self._mux_dense
         ):
+            # NOTE: keyed on the batch's OWN wire format, not the sticky
+            # _mux_dense flag — a pipelined batch prepared with the low-bit
+            # mux just before a sibling batch flipped the flag still needs
+            # its own adequacy check + redo (its vals/vals_lo are wrong
+            # regardless of the flag's current value).
             # Overflow-extraction adequacy (stats were async-copied in
             # prepare_batch): any query whose count>15 tips exceed the fixed
             # budget — or scattered past the compaction's tile fan-in — got
@@ -851,13 +856,14 @@ class DeviceClassifier:
             if (n_over_h > budget).any() or (
                 cov_h < np.minimum(n_over_h, budget)
             ).any():
-                self._mux_dense = True
-                log.info(
-                    "dense intersection profile (max %d tips over the "
-                    "%d-slot overflow budget): switching to the "
-                    "full-width probability mux",
-                    int(n_over_h.max(initial=0)), budget,
-                )
+                if not self._mux_dense:
+                    self._mux_dense = True
+                    log.info(
+                        "dense intersection profile (max %d tips over the "
+                        "%d-slot overflow budget): switching to the "
+                        "full-width probability mux",
+                        int(n_over_h.max(initial=0)), budget,
+                    )
                 sig_rows = None  # inadequate wire must not feed the mux
                 vals, vals_lo, idx, n_sig, cum0 = self._significant(
                     counts, table, self._top_k, sig_rows
@@ -985,6 +991,7 @@ class DeviceClassifier:
         out: list[QueryResult] = []
         empty_i32 = np.empty(0, np.int32)
         for b in range(n_real):
+            warned = None
             if self._evaluator is not None:
                 # native replay + formatting (the Python path below is the
                 # semantics reference; parity covered by the fuzz suite)
@@ -1013,7 +1020,8 @@ class DeviceClassifier:
                     np.asarray(fb_l, np.int32),
                     float(global_signals[b]),
                     override_tip,
-                    decompress_sequence(seqs[b]),
+                    decompress_sequence(seqs[b]) if self.tsv else "",
+                    want_tsv=self.tsv,
                 )
                 if res is not None:
                     out.append(
@@ -1035,14 +1043,19 @@ class DeviceClassifier:
                 lambda node, _b=b: fallback_map[(_b, node)],
             )
             assert results, "evaluation must produce at least one result"
-            results, warned = apply_exact_match_policy(
+            # warned is not None when the native path already logged the
+            # exact matches (and then declined the query): don't log twice
+            results, warned2 = apply_exact_match_policy(
                 labels[b],
                 self.db,
                 exact[b],
                 results,
                 self.raw_confidence,
                 self.skip_exact_matches,
+                log_matches=warned is None,
             )
+            if warned is None:
+                warned = warned2
             out.append(
                 QueryResult(
                     label=labels[b],

@@ -64,7 +64,15 @@ def get_output(args) -> tuple[OutputWriters, Checkpoint]:
                         }
                     checkpoint = ckp
             except (OSError, ValueError, KeyError) as e:
-                log.error("Failed to read coordinator checkpoint!: %s", e)
+                # FATAL, not a fallback: a participant that silently resumes
+                # from an empty processed baseline builds a different query
+                # list than host 0 and drives the shared global mesh through
+                # a different number of collective steps — a mid-run
+                # distributed deadlock. Dying here is loud and immediate.
+                raise OutputError(
+                    "global-mesh participant failed to read the "
+                    f"coordinator checkpoint {ckp_path}: {e}"
+                ) from e
         if checkpoint is None:
             checkpoint = Checkpoint.new(
                 ckp_path, args, prefix / "raxtax.ckp"

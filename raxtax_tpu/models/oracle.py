@@ -90,10 +90,15 @@ def apply_exact_match_policy(
     results: list[EvaluationResult],
     raw_confidence: bool,
     skip_exact_matches: bool,
+    log_matches: bool = True,
 ) -> tuple[list[EvaluationResult], bool]:
     """Mislabel warning + single-exact-match confidence override
-    (src/raxtax.rs:42-53, 73-84). Returns (results, warned)."""
-    warned = log_exact_matches(query_label, db, exact, skip_exact_matches)
+    (src/raxtax.rs:42-53, 73-84). Returns (results, warned). Pass
+    log_matches=False when the caller already emitted the per-match log
+    lines (one line per exact match is the reference's contract)."""
+    warned = False
+    if log_matches:
+        warned = log_exact_matches(query_label, db, exact, skip_exact_matches)
     if not skip_exact_matches:
         lineages = db.taxonomy.lineages
         if not raw_confidence and len(exact) == 1:

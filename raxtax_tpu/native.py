@@ -329,6 +329,7 @@ class NativeEvaluator:
         global_signal: float,
         override_tip: int,  # -1 = no single-exact-match override
         seq_str: str,
+        want_tsv: bool = True,
     ) -> tuple[str, str] | None:
         """(out_text, tsv_text), or None if the native path declined
         (missing fallback entry / no results) — caller uses the Python
@@ -349,7 +350,8 @@ class NativeEvaluator:
                 np.ascontiguousarray(fb_starts, np.int32),
                 np.ascontiguousarray(fb_leaves, np.int32),
                 len(fb_starts),
-                float(global_signal), int(override_tip), 1,
+                float(global_signal), int(override_tip),
+                1 if want_tsv else 0,
                 seq, len(seq),
                 self._out_buf, self._out_buf.shape[0],
                 ctypes.byref(out_len),

@@ -133,16 +133,25 @@ def compress_planes(planes: jax.Array, budget: int = OVER_BUDGET,
     )
 
 
+def decode_plane_rows(sel: np.ndarray) -> np.ndarray:
+    """[m, P, ...] little-endian u32 counter-plane words -> [m, W*32] u16
+    counts. Plane p contributes bit p of each count; tip n lives in word
+    n//32, bit n%32. The single decode used by every planes→u16 path
+    (engine gather, mesh gather, wire decompress)."""
+    m, n_planes = sel.shape[0], sel.shape[1]
+    w = sel.reshape(m, n_planes, -1)
+    bits = np.unpackbits(
+        w.astype("<u4").view(np.uint8), axis=2, bitorder="little"
+    )  # [m, P, W*32]
+    out = np.zeros((m, bits.shape[2]), np.uint16)
+    for p in range(n_planes):
+        out |= bits[:, p].astype(np.uint16) << p
+    return out
+
+
 def decode_lo4(lo4_row: np.ndarray, num_tips: int) -> np.ndarray:
     """[4, S, 128] u32 tier planes -> u16 counts clamped at 15."""
-    w = lo4_row.reshape(4, -1)  # [4, W]; tip n lives in word n//32 bit n%32
-    bits = np.unpackbits(
-        w.astype("<u4").view(np.uint8), axis=1, bitorder="little"
-    )  # [4, W*32]
-    out = np.zeros(bits.shape[1], np.uint16)
-    for p in range(4):
-        out |= bits[p].astype(np.uint16) << p
-    return out[:num_tips]
+    return decode_plane_rows(lo4_row.reshape(1, 4, -1))[0, :num_tips]
 
 
 def decompress_planes_rows(

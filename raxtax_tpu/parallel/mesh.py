@@ -586,15 +586,9 @@ class ShardedPipeline:
             )
         )[:m]
         if self.backend in ("pallas", "stream"):
-            n_planes = sel.shape[1]
-            w = sel.reshape(m, n_planes, -1)
-            bits = np.unpackbits(
-                w.astype("<u4").view(np.uint8), axis=2, bitorder="little"
-            )
-            out = np.zeros((m, bits.shape[2]), np.uint16)
-            for p in range(n_planes):
-                out |= bits[:, p].astype(np.uint16) << p
-            return out
+            from ..ops.compress import decode_plane_rows
+
+            return decode_plane_rows(sel)
         return sel.astype(np.uint16)
 
     def descend(

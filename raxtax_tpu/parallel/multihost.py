@@ -94,7 +94,10 @@ def consolidate_artifacts(prefix: Path) -> None:
 
     The merged `raxtax.out` is appended to (not overwritten), so an
     interrupted re-merge can never replace completed output with empty
-    shards.
+    shards. Crash-safety comes from label-level dedup, not operation
+    ordering: every append skips queries already present in the merged
+    file, so a crash between "append shard" and "unlink shard" re-applies
+    the shard as a no-op on the next run instead of duplicating its lines.
     """
     import json
 
@@ -105,6 +108,19 @@ def consolidate_artifacts(prefix: Path) -> None:
         return
     merged_ckp = prefix / "raxtax.ckp"
     merged_json = prefix / "raxtax.json"
+
+    def _labels(path: Path) -> set[str]:
+        if not path.is_file():
+            return set()
+        with open(path) as f:
+            return {
+                l.rstrip("\n").split("\t", 1)[0] for l in f if l.strip()
+            }
+
+    merged_labels = {
+        name: _labels(prefix / name) for name in ("raxtax.out", "raxtax.tsv")
+    }
+    merged_done = _labels(merged_ckp)
     for ckp in ckp_shards:
         suffix = ckp.suffix  # ".shardK"
         with open(ckp) as f:
@@ -114,13 +130,18 @@ def consolidate_artifacts(prefix: Path) -> None:
             if not shard.is_file():
                 continue
             check_incomplete_output(shard, done)
+            seen = merged_labels[name]
             with open(prefix / name, "a") as dst, open(shard) as src:
-                data = src.read()
-                if data.strip():
-                    dst.write(data)
+                fresh = [
+                    l for l in src
+                    if l.strip() and l.split("\t", 1)[0] not in seen
+                ]
+                dst.writelines(fresh)
+            seen.update(l.split("\t", 1)[0] for l in fresh)
             shard.unlink()
         with open(merged_ckp, "a") as dst:
-            dst.write("".join(f"{l}\n" for l in sorted(done)))
+            dst.write("".join(f"{l}\n" for l in sorted(done - merged_done)))
+        merged_done |= done
         ckp.unlink()
         log_shard = prefix / f"raxtax.log{suffix}"
         if log_shard.is_file():

@@ -294,6 +294,34 @@ def test_dense_overflow_switches_to_full_mux(family_world):
     assert dev._mux_dense  # flipped and sticky
 
 
+def test_dense_overflow_redo_covers_in_flight_batches(family_world):
+    """Pipelined variant of the full-mux switch: with two batches prepared
+    in flight, the first batch's finalize flips _mux_dense — the SECOND
+    batch was prepared with the (inadequate) low-bit mux before the flip
+    and must still get its own adequacy redo, not inherit the sticky flag
+    (round-2 review finding: guard keyed on the batch's wire, not the
+    flag)."""
+    from collections import deque
+
+    db, queries = family_world
+    oracle = OracleClassifier(db)
+    dev = DeviceClassifier.create(db, backend="pallas", batch_size=8)
+    dev._over_budget = 2  # every batch's overflow wire is inadequate
+    assert not dev._mux_dense
+    got: list = []
+    prepared: deque = deque()
+    for start in range(0, len(queries), 8):
+        a_state = dev.submit_batch(queries[start : start + 8])
+        if len(prepared) >= 2:
+            got.extend(dev.finalize_batch(prepared.popleft()))
+        prepared.append(dev.prepare_batch(a_state))
+    while prepared:
+        got.extend(dev.finalize_batch(prepared.popleft()))
+    assert dev._mux_dense
+    for (label, seq), qr in zip(queries, got):
+        assert render(qr) == render(oracle.classify(label, seq)), label
+
+
 def test_under_covered_wire_replays_via_gather(family_world):
     """A query whose overflow list under-COVERS (scattered hits past the
     tile fan-in) must take the u16-gather replay path, not decode a wrong

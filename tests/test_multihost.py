@@ -59,6 +59,23 @@ def test_consolidate_trims_uncommitted_lines(tmp_path: Path):
     assert (tmp_path / "raxtax.out").read_text() == "a\tx\n"
 
 
+def test_consolidate_is_crash_safe_against_reapplied_shards(tmp_path: Path):
+    """A crash between 'append shard to merged' and 'unlink shard' leaves
+    the shard on disk; the next consolidation re-applies it and must NOT
+    duplicate its lines (label-level dedup, round-2 review finding)."""
+    (tmp_path / "raxtax.out.shard0").write_text("a\tx\na\tx2\nb\ty\n")
+    (tmp_path / "raxtax.ckp.shard0").write_text("a\nb\n")
+    consolidate_artifacts(tmp_path)
+    merged = (tmp_path / "raxtax.out").read_text()
+    assert merged == "a\tx\na\tx2\nb\ty\n"
+    # simulate the crash: the shard files reappear with the same content
+    (tmp_path / "raxtax.out.shard0").write_text("a\tx\na\tx2\nb\ty\n")
+    (tmp_path / "raxtax.ckp.shard0").write_text("a\nb\n")
+    consolidate_artifacts(tmp_path)
+    assert (tmp_path / "raxtax.out").read_text() == merged
+    assert sorted((tmp_path / "raxtax.ckp").read_text().split()) == ["a", "b"]
+
+
 def test_consolidate_preserves_existing_merged_output(tmp_path: Path):
     (tmp_path / "raxtax.out").write_text("old\tline\n")
     (tmp_path / "raxtax.out.shard0").write_text("")
