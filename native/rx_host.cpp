@@ -610,3 +610,40 @@ int rx_evaluate(
     return results.empty() ? 2 : 0;
 }
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Benchmark baseline: the reference's CPU hot loop, re-created natively.
+//
+// This is NOT part of the classification pipeline — it exists so bench
+// tooling can measure what the reference's architecture (inverted-index
+// scatter-add, reference: src/raxtax.rs:38, 54-64 + histogramming,
+// src/prob.rs:13-19) costs per query on THIS host's CPU, giving an honest
+// per-core native baseline to extrapolate multi-core CPU throughput from
+// (the Rust toolchain is unavailable in this environment; see
+// scripts/native_baseline.py).
+
+extern "C" {
+
+// Scatter-add intersection counts + size histogram for one query.
+//   postings/offsets: CSR inverted index, offsets[65537]
+//   kmers[n_kmers]:   the query's sorted distinct 8-mers
+//   buffer[num_tips]: scratch, zeroed here (reference: src/raxtax.rs:41)
+//   hist[n_kmers+1]:  output histogram of intersection sizes
+// Returns the number of postings traversed (the loop's work measure).
+int64_t rx_baseline_intersect(
+    const int32_t* postings, const int64_t* offsets,
+    const uint16_t* kmers, int64_t n_kmers,
+    uint16_t* buffer, int64_t num_tips,
+    int64_t* hist) {
+    memset(buffer, 0, (size_t)num_tips * sizeof(uint16_t));
+    int64_t work = 0;
+    for (int64_t i = 0; i < n_kmers; ++i) {
+        const int64_t lo = offsets[kmers[i]], hi = offsets[kmers[i] + 1];
+        for (int64_t p = lo; p < hi; ++p) buffer[postings[p]]++;
+        work += hi - lo;
+    }
+    memset(hist, 0, (size_t)(n_kmers + 1) * sizeof(int64_t));
+    for (int64_t n = 0; n < num_tips; ++n) hist[buffer[n]]++;
+    return work;
+}
+}  // extern "C"

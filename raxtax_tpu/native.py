@@ -101,6 +101,11 @@ def get_lib():
             _u8p, _i64p, _i64p,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.rx_baseline_intersect.restype = ctypes.c_int64
+        lib.rx_baseline_intersect.argtypes = [
+            _i32p, _i64p, _u16p, ctypes.c_int64,
+            _u16p, ctypes.c_int64, _i64p,
+        ]
         _lib = lib
         log.info("native host kernels loaded: %s", path)
     except OSError as e:
