@@ -184,6 +184,29 @@ def _compact_dd(conf_hi, conf_lo, k: int):
     return vals, vals_lo, idx, n_sig
 
 
+def _compact_dd_from_cum(cum_hi, cum_lo, starts, ends, conf_hi, k: int):
+    """Threshold-compact without ever materializing conf_lo [B, J].
+
+    The lo plane is only read at the <=k selected node positions, so
+    instead of building (and re-reading) a [B, J] conf_lo — ~1 GB of HBM
+    traffic at J~1.1M, B=128 — the dd-subtraction is redone at just the
+    compacted indices from the four cum boundary gathers. Elementwise
+    identical ops on identical inputs: bit-equal to the full-array path
+    (covered by test_ops_units parity).
+    """
+    vals, idx, n_sig = threshold_set(conf_hi, SIG_THRESHOLD, k)
+    safe = jnp.clip(idx, 0, starts.shape[0] - 1)
+    s = starts[safe]
+    e = ends[safe]
+    vals_lo = _dd_sub(
+        jnp.take_along_axis(cum_hi, e, axis=1),
+        jnp.take_along_axis(cum_lo, e, axis=1),
+        jnp.take_along_axis(cum_hi, s, axis=1),
+        jnp.take_along_axis(cum_lo, s, axis=1),
+    )[1]
+    return vals, vals_lo, idx, n_sig
+
+
 @partial(jax.jit, static_argnames=("top_k", "interpret"))
 def significant_nodes_planes(
     planes: jax.Array,  # [B, P, S, 128] uint32 counter planes
@@ -228,9 +251,11 @@ def significant_nodes_planes(
             planes_probs(planes, table, interpret=interpret), 0
         )
     cum_hi, cum_lo = tip_prob_cumsum_dd(probs, interpret=interpret)
-    conf_hi, conf_lo = node_conf_dd(cum_hi, cum_lo, node_starts, node_ends)
+    conf_hi, _ = node_conf_dd(cum_hi, cum_lo, node_starts, node_ends)
     k = min(top_k, conf_hi.shape[1])
-    vals, vals_lo, idx, n_sig = _compact_dd(conf_hi, conf_lo, k)
+    vals, vals_lo, idx, n_sig = _compact_dd_from_cum(
+        cum_hi, cum_lo, node_starts, node_ends, conf_hi, k
+    )
     return vals, vals_lo, idx, n_sig, (cum_hi, cum_lo)
 
 
@@ -252,9 +277,11 @@ def significant_nodes(
     """
     probs = gather_table(counts, table)
     cum_hi, cum_lo = tip_prob_cumsum_dd(probs)
-    conf_hi, conf_lo = node_conf_dd(cum_hi, cum_lo, node_starts, node_ends)
+    conf_hi, _ = node_conf_dd(cum_hi, cum_lo, node_starts, node_ends)
     k = min(top_k, conf_hi.shape[1])
-    vals, vals_lo, idx, n_sig = _compact_dd(conf_hi, conf_lo, k)
+    vals, vals_lo, idx, n_sig = _compact_dd_from_cum(
+        cum_hi, cum_lo, node_starts, node_ends, conf_hi, k
+    )
     return vals, vals_lo, idx, n_sig, (cum_hi, cum_lo)
 
 

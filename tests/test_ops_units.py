@@ -88,3 +88,29 @@ def test_dd_cumsum_survives_compilation():
     # and a naive f32 scan genuinely loses the tiny terms on this input
     naive = float(np.cumsum(probs[0], dtype=np.float32)[-1])
     assert abs(naive - exact) > 1e-6
+
+
+def test_compact_dd_from_cum_matches_full_conf_lo(rng):
+    """_compact_dd_from_cum (lo plane redone at selected indices only) must
+    be bit-equal to the full-array _compact_dd it replaced in the
+    single-chip significance paths."""
+    import jax
+
+    from raxtax_tpu.ops.nodeconf import (
+        _compact_dd,
+        _compact_dd_from_cum,
+        node_conf_dd,
+        tip_prob_cumsum_dd,
+    )
+
+    B, N, J, k = 4, 512, 96, 16
+    probs = rng.random((B, N), dtype=np.float32) * 0.02
+    starts = np.sort(rng.integers(0, N, size=J)).astype(np.int32)
+    ends = np.minimum(starts + rng.integers(1, 40, size=J), N).astype(np.int32)
+    cum_hi, cum_lo = jax.jit(tip_prob_cumsum_dd)(jnp.asarray(probs))
+    s, e = jnp.asarray(starts), jnp.asarray(ends)
+    conf_hi, conf_lo = node_conf_dd(cum_hi, cum_lo, s, e)
+    want = _compact_dd(conf_hi, conf_lo, k)
+    got = _compact_dd_from_cum(cum_hi, cum_lo, s, e, conf_hi, k)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
