@@ -1,0 +1,183 @@
+#!/usr/bin/env python
+"""Per-kernel device-stage profile of the planes pipeline on the real chip.
+
+Times each device stage of the single-chip pallas path separately at the
+bench configuration (default 1M refs, B=128), with axon-aware sync (pull
+one element, subtract the tunnel round-trip). Use it to decide which
+kernel to attack next; run only when the tunnel is idle.
+
+Usage: RAXTAX_BENCH_REFS=1000000 python scripts/profile_stages.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import bench  # noqa: E402
+
+REPS = int(os.environ.get("RAXTAX_PROFILE_REPS", 5))
+RTT = 0.024  # tunnel sync round-trip to subtract
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def sync(x) -> None:
+    """Force completion of the device queue up to x (axon-safe)."""
+    arr = x
+    while isinstance(arr, (tuple, list)):
+        arr = arr[0]
+    flat = arr.reshape(-1)[:1]
+    np.asarray(flat)
+
+
+def timeit(name: str, fn, *args):
+    out = fn(*args)  # warm (compile)
+    sync(out)
+    ts = []
+    for _ in range(REPS):
+        t0 = time.time()
+        out = fn(*args)
+        sync(out)
+        ts.append(time.time() - t0 - RTT)
+    ts.sort()
+    med = ts[len(ts) // 2]
+    log(f"{name:34s} {med * 1e3:8.1f} ms")
+    return name, med, out
+
+
+def main() -> int:
+    from raxtax_tpu.engine.device import DeviceClassifier
+    from raxtax_tpu.utils.jaxcfg import setup_jax
+
+    setup_jax()
+    fam, lineages, seqs = bench.synth_records(bench.N_REFS)
+    db = bench.get_database(lineages, seqs)
+    queries = bench.synth_queries(fam, 256)
+    clf = DeviceClassifier.create(
+        db, backend="pallas", batch_size=bench.BATCH or None
+    )
+    B = clf.batch_size
+    log(f"backend={clf.backend} batch={B} refs={db.num_tips}")
+
+    # run two real batches first: fixes the sticky shape buckets and
+    # compiles the full kernel set through the engine exactly as bench does
+    t0 = time.time()
+    clf.classify_batch(queries[:B])
+    clf.classify_batch(queries[:B])
+    log(f"engine warmup {time.time() - t0:.1f}s")
+
+    import jax.numpy as jnp
+
+    from raxtax_tpu.ops.compress import compress_planes
+    from raxtax_tpu.ops.nodeconf import (
+        node_conf_dd,
+        significant_nodes_planes,
+        threshold_set,
+        tip_prob_cumsum_dd,
+        SIG_THRESHOLD,
+    )
+    from raxtax_tpu.ops.planes import (
+        planes_histogram,
+        planes_probs,
+        probs_to_tip_order,
+    )
+    from raxtax_tpu.utils.encoding import sequence_to_kmers
+
+    kmer_sets = [sequence_to_kmers(s) for _, s in queries[:B]]
+    k_pad = clf._k_pad_hw
+    kmer_idx = np.full((B, k_pad), 0x10000, dtype=np.int32)
+    for i, km in enumerate(kmer_sets):
+        kmer_idx[i, : km.size] = km
+    s_max = clf._s_max_hw
+    table = np.random.default_rng(0).random((B, s_max), np.float32) * 1e-5
+
+    results = {}
+
+    from raxtax_tpu.ops.intersect_pallas import intersection_planes_pallas
+
+    name, med, planes = timeit(
+        "counts (gather+CSA planes)",
+        lambda ki: intersection_planes_pallas(
+            ki, clf.kmer_major, max_count=k_pad, interpret=clf._interpret
+        ),
+        jnp.asarray(kmer_idx),
+    )
+    results[name] = med
+
+    name, med, hist = timeit(
+        "histogram (planes)",
+        lambda p: planes_histogram(
+            p, s_max, db.num_tips, interpret=clf._interpret
+        ),
+        planes,
+    )
+    results[name] = med
+
+    name, med, wire = timeit(
+        "compress (lo4+overflow wire)",
+        lambda p: compress_planes(
+            p, budget=clf._over_budget, interpret=clf._interpret,
+            spread=clf._over_spread,
+        ),
+        planes,
+    )
+    results[name] = med
+
+    tbl = jnp.asarray(table)
+    name, med, probs = timeit(
+        "probs (low-bit mux + tip order)",
+        lambda p, t: probs_to_tip_order(
+            planes_probs(p, t, mux_bits=4, interpret=clf._interpret), 0
+        ),
+        planes, tbl,
+    )
+    results[name] = med
+
+    name, med, cums = timeit(
+        "dd cumsum",
+        lambda pr: tip_prob_cumsum_dd(pr, interpret=clf._interpret),
+        probs,
+    )
+    results[name] = med
+    cum_hi, cum_lo = cums
+
+    name, med, confs = timeit(
+        "node conf (boundary gathers+dd)",
+        node_conf_dd,
+        cum_hi, cum_lo, clf.node_starts, clf.node_ends,
+    )
+    results[name] = med
+
+    name, med, _ = timeit(
+        "threshold compaction",
+        lambda c: threshold_set(c, SIG_THRESHOLD, clf._top_k),
+        confs[0],
+    )
+    results[name] = med
+
+    name, med, _ = timeit(
+        "significance (full fused jit)",
+        lambda p, t: significant_nodes_planes(
+            p, t, clf.node_starts, clf.node_ends, top_k=clf._top_k,
+            interpret=clf._interpret,
+        ),
+        planes, tbl,
+    )
+    results[name] = med
+
+    print(json.dumps({k: round(v * 1e3, 1) for k, v in results.items()}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
