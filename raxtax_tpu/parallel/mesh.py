@@ -28,10 +28,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..ops.histogram import intersection_histogram
 from ..ops.intersect_xla import intersection_counts_xla
 from ..ops.nodeconf import (
-    _compact_dd,
+    SIG_THRESHOLD,
     gather_table,
     max_descent,
     node_conf_dd,
+    threshold_set,
     tip_prob_cumsum_dd,
 )
 
@@ -403,11 +404,21 @@ class ShardedPipeline:
             e = jnp.clip(ends - lo, 0, n_local)
             ch, cl = node_conf_dd(cum_hi, cum_lo, s, e)
             # cross-shard merge in plain f32 psum: the hi plane reabsorbs
-            # ~eps-level error, so mesh runs use a wider host risk margin
+            # ~eps-level error, so mesh runs use a wider host risk margin.
+            # Only the hi plane is psum'd at full [B, J]; the lo plane is
+            # gathered at the <=k compacted indices FIRST and psum'd at
+            # [B, k] — gather commutes with the elementwise psum, so
+            # psum(cl)[idx] == psum(cl[idx]) bit-exactly, at 1/J of the
+            # ICI traffic.
             conf_hi = jax.lax.psum(ch, "model")
-            conf_lo = jax.lax.psum(cl, "model")
             k = min(top_k, conf_hi.shape[1])
-            vals, vals_lo, idx, n_sig = _compact_dd(conf_hi, conf_lo, k)
+            vals, idx, n_sig = threshold_set(conf_hi, SIG_THRESHOLD, k)
+            vals_lo = jax.lax.psum(
+                jnp.take_along_axis(
+                    cl, jnp.clip(idx, 0, cl.shape[1] - 1), axis=1
+                ),
+                "model",
+            )
             return (
                 self._replicate(vals),
                 self._replicate(vals_lo),
@@ -447,12 +458,18 @@ class ShardedPipeline:
             s = jnp.clip(starts - lo, 0, n_local)
             e = jnp.clip(ends - lo, 0, n_local)
             ch, cl = node_conf_dd(cum_hi, cum_lo, s, e)
-            # cross-shard merge in plain f32 psum: the hi plane reabsorbs
-            # ~eps-level error, so mesh runs use a wider host risk margin
+            # hi plane psum'd at full [B, J]; lo plane gathered at the
+            # compacted indices first and psum'd at [B, k] (see
+            # _significant — bit-identical, 1/J of the ICI traffic)
             conf_hi = jax.lax.psum(ch, "model")
-            conf_lo = jax.lax.psum(cl, "model")
             k = min(top_k, conf_hi.shape[1])
-            vals, vals_lo, idx, n_sig = _compact_dd(conf_hi, conf_lo, k)
+            vals, idx, n_sig = threshold_set(conf_hi, SIG_THRESHOLD, k)
+            vals_lo = jax.lax.psum(
+                jnp.take_along_axis(
+                    cl, jnp.clip(idx, 0, cl.shape[1] - 1), axis=1
+                ),
+                "model",
+            )
             return (
                 self._replicate(vals),
                 self._replicate(vals_lo),
