@@ -67,8 +67,24 @@ def main() -> int:
             db, skip_exact_matches=skip_exact, raw_confidence=raw_conf
         )
         got = []
-        for lo in range(0, len(queries), 4):
-            got += dev.classify_batch(queries[lo : lo + 4])
+        pipelined = bool(t % 2) and hasattr(dev, "submit_batch")
+        if pipelined:
+            # 3-phase pipeline with 2 batches in flight, like run_queries:
+            # covers state that flips between prepare and finalize (e.g.
+            # the sticky dense-mux redo for in-flight batches)
+            from collections import deque
+
+            prepared: deque = deque()
+            for lo in range(0, len(queries), 4):
+                a_state = dev.submit_batch(queries[lo : lo + 4])
+                if len(prepared) >= 2:
+                    got += dev.finalize_batch(prepared.popleft())
+                prepared.append(dev.prepare_batch(a_state))
+            while prepared:
+                got += dev.finalize_batch(prepared.popleft())
+        else:
+            for lo in range(0, len(queries), 4):
+                got += dev.classify_batch(queries[lo : lo + 4])
         ok = True
         for (label, seq), qr in zip(queries, got):
             want = orc.classify(label, seq)
@@ -88,6 +104,7 @@ def main() -> int:
         print(
             f"trial {t}: seed={seed} backend={backend} "
             f"skip={int(skip_exact)} raw={int(raw_conf)} "
+            f"pipe={int(pipelined)} "
             f"queries={len(queries)} {'OK' if ok else 'MISMATCH'}",
             flush=True,
         )
