@@ -41,6 +41,12 @@ PAD_ROW = 0x10000  #: index of the all-zero padding row (65536)
 TIERS = 4  #: ones/twos/fours/eights persistent tiers (weights 1,2,4,8)
 
 
+def _fused_gather_env() -> bool:
+    import os
+
+    return os.environ.get("RAXTAX_FUSED_GATHER", "") not in ("", "0")
+
+
 def _csa(a, b, c):
     """Full adder on bit vectors: returns (sum, carry) — 5 vector ops."""
     s = a ^ b ^ c
@@ -135,6 +141,105 @@ def _hs_planes(
     )(rows)
 
 
+def _hs_kernel_fused(n_high: int):
+    """Harley-Seal 16-block kernel, fused-gather variant: the 16 rows
+    arrive as 16 separate (1, S, 128) input blocks whose index maps read
+    the scalar-prefetched k-mer ids — the rows stream from the kmer-major
+    matrix in HBM straight into the VMEM pipeline, never materializing the
+    [B * K_pad, Nw] gathered copy (halves the stage's HBM traffic)."""
+
+    def kernel(idx_ref, *refs):
+        # refs: 16 row refs [1, S, 128], out_ref, acc scratch
+        rows = refs[:HS_BLOCK]
+        out_ref = refs[HS_BLOCK]
+        acc = refs[HS_BLOCK + 1]
+        k = pl.program_id(1)
+        n_k = pl.num_programs(1)
+
+        @pl.when(k == 0)
+        def _():
+            acc[...] = jnp.zeros_like(acc)
+
+        x = [rows[i][0] for i in range(HS_BLOCK)]
+        ones, twos = acc[0], acc[1]
+        fours, eights = acc[2], acc[3]
+
+        ones, t0 = _csa(ones, x[0], x[1])
+        ones, t1 = _csa(ones, x[2], x[3])
+        twos, f0 = _csa(twos, t0, t1)
+        ones, t0 = _csa(ones, x[4], x[5])
+        ones, t1 = _csa(ones, x[6], x[7])
+        twos, f1 = _csa(twos, t0, t1)
+        fours, e0 = _csa(fours, f0, f1)
+        ones, t0 = _csa(ones, x[8], x[9])
+        ones, t1 = _csa(ones, x[10], x[11])
+        twos, f0 = _csa(twos, t0, t1)
+        ones, t0 = _csa(ones, x[12], x[13])
+        ones, t1 = _csa(ones, x[14], x[15])
+        twos, f1 = _csa(twos, t0, t1)
+        fours, e1 = _csa(fours, f0, f1)
+        eights, sixteens = _csa(eights, e0, e1)
+
+        acc[0], acc[1], acc[2], acc[3] = ones, twos, fours, eights
+        carry = sixteens
+        for p in range(n_high):
+            plane = acc[TIERS + p]
+            acc[TIERS + p] = plane ^ carry
+            carry = plane & carry
+
+        @pl.when(k == n_k - 1)
+        def _():
+            out_ref[0] = acc[...]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_high", "interpret")
+)
+def _hs_planes_fused(
+    kmer_idx: jax.Array,  # [B, K_pad] int32 (PAD_ROW-padded)
+    kmer_major3: jax.Array,  # [65537, S, 128] uint32
+    n_high: int,
+    interpret: bool = False,
+) -> jax.Array:  # [B, TIERS + n_high, S, 128] uint32
+    B, k_pad = kmer_idx.shape
+    _, sublanes, lanes = kmer_major3.shape
+    n_blocks = k_pad // HS_BLOCK
+    n_planes = TIERS + n_high
+    grid = (B, n_blocks)
+    row_specs = [
+        pl.BlockSpec(
+            (1, sublanes, lanes),
+            # i=i binds the row slot; idx is the scalar-prefetched ref
+            lambda b, k, idx, i=i: (idx[b, k * HS_BLOCK + i], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        for i in range(HS_BLOCK)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=row_specs,
+        out_specs=pl.BlockSpec(
+            (1, n_planes, sublanes, lanes),
+            lambda b, k, idx: (b, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_planes, sublanes, lanes), jnp.uint32)
+        ],
+    )
+    return pl.pallas_call(
+        _hs_kernel_fused(n_high),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (B, n_planes, sublanes, lanes), jnp.uint32
+        ),
+        interpret=interpret,
+    )(kmer_idx, *([kmer_major3] * HS_BLOCK))
+
+
 @functools.partial(jax.jit, static_argnames=("num_tips",))
 def _planes_to_counts(planes: jax.Array, num_tips: int):
     """[B, P, S, 128] u32 planes (plane i weight 2^i) -> [B, num_tips] f32."""
@@ -150,18 +255,29 @@ def _planes_to_counts(planes: jax.Array, num_tips: int):
     return acc.reshape(B, -1)[:, :num_tips].astype(jnp.float32)
 
 
-def prepare_kmer_major(db) -> jax.Array:
-    """Device copy of the kmer-major matrix, lane-padded to [65537, Nw']
-    with Nw' a multiple of 128.
+def prepare_kmer_major(db, fused_gather: bool | None = None) -> jax.Array:
+    """Device copy of the kmer-major matrix, lane-padded so the word count
+    is a multiple of 128.
 
-    Kept 2-D in its natural layout: gathering from a 3-D reshaped view makes
-    XLA materialize a full layout copy of the (multi-GB) matrix inside the
-    gather program — OOM at the 1M-reference scale. The gathered rows (small)
-    are reshaped to (sublane, lane) tiles instead."""
+    Layout is decided HERE because the 2-D and 3-D TPU tilings are
+    physically different and a device-side reshape would relayout-copy the
+    multi-GB matrix:
+
+    - XLA-gather path (default): 2-D [65537, Nw'] — gathering from a 3-D
+      view makes XLA materialize a full layout copy inside the gather
+      program (OOM at the 1M-reference scale); the gathered rows (small)
+      are reshaped to (sublane, lane) tiles instead.
+    - fused-gather path (RAXTAX_FUSED_GATHER=1): 3-D [65537, S, 128] so
+      the Pallas block index maps can DMA (1, S, 128) row blocks directly.
+    """
+    if fused_gather is None:
+        fused_gather = _fused_gather_env()
     km = db.kmer_major
     pad = (-km.shape[1]) % LANE
     if pad:
         km = np.pad(km, ((0, 0), (0, pad)))
+    if fused_gather:
+        return jnp.asarray(km.reshape(km.shape[0], -1, LANE))
     return jnp.asarray(km)
 
 
@@ -186,6 +302,12 @@ def intersection_planes_pallas(
     The planes ARE the count representation consumed by the fused kernels
     in ops/planes.py (histogram, table lookup, overflow extraction) — the
     [B, num_tips] count matrix of round 1 is never materialized.
+
+    The fused-gather variant streams postings rows straight from HBM into
+    the fold via scalar-prefetched block index maps instead of
+    materializing the XLA-gathered row copy (halves the stage's HBM
+    traffic). It is selected by the LAYOUT of `kmer_major` — 3-D means
+    `prepare_kmer_major` was built for fused mode (RAXTAX_FUSED_GATHER=1).
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -194,6 +316,10 @@ def intersection_planes_pallas(
     assert k_pad % HS_BLOCK == 0
     max_count = max_count if max_count is not None else k_pad
     n_high = max(int(np.ceil(np.log2(max_count + 1))) - TIERS, 1)
+    if kmer_major.ndim == 3:
+        return _hs_planes_fused(
+            jnp.asarray(kmer_idx), kmer_major, n_high, interpret
+        )
     # chunk the query batch so the gathered rows stay under the HBM budget
     row_bytes = int(np.prod(kmer_major.shape[1:])) * 4
     b_sub = max(1, min(B, gather_budget_bytes // (k_pad * row_bytes)))

@@ -63,3 +63,29 @@ def test_pallas_counts_saturating_planes(world):
     )
     # the matching reference is tip with lineage sorted position of seq 7
     assert counts.max() == km.size
+
+
+def test_fused_gather_planes_match_legacy(world):
+    """The fused-gather variant (scalar-prefetched block index maps, 3-D
+    kmer-major layout) must produce bit-identical counter planes to the
+    XLA-gather path."""
+    from raxtax_tpu.ops.intersect_pallas import intersection_planes_pallas
+
+    db, seqs = world
+    queries = [encode_sequence(seqs[i]) for i in (1, 9, 23)]
+    kmer_sets = [sequence_to_kmers(s) for s in queries]
+    k_pad = -(-max(k.size for k in kmer_sets) // 16) * 16
+    kmer_idx = np.full((len(queries), k_pad), PAD_ROW, dtype=np.int32)
+    for i, km in enumerate(kmer_sets):
+        kmer_idx[i, : km.size] = km
+    legacy = np.asarray(
+        intersection_planes_pallas(
+            kmer_idx, prepare_kmer_major(db, fused_gather=False)
+        )
+    )
+    fused = np.asarray(
+        intersection_planes_pallas(
+            kmer_idx, prepare_kmer_major(db, fused_gather=True)
+        )
+    )
+    np.testing.assert_array_equal(fused, legacy)
