@@ -19,6 +19,7 @@ histograms, (K+1)-sized tables, and the compacted significant set.
 from __future__ import annotations
 
 import logging
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -218,6 +219,9 @@ class DeviceClassifier:
     _s_max_hw: int = field(default=0, repr=False)
     #: run Pallas kernels in interpreter mode (non-TPU devices)
     _interpret: bool = field(default=False, repr=False)
+    #: feed the dd scan bit-major probs directly (RAXTAX_BM_SCAN=1): skips
+    #: the global tip-order permute between the probs kernel and the scan
+    _bm_scan: bool = field(default=False, repr=False)
     #: --debug-checks: validate device-stage invariants on the (small)
     #: pulled artifacts — mirrors the reference's asserts (src/prob.rs:98,
     #: src/raxtax.rs:56,72) plus kernel-integrity checks. Off by default:
@@ -308,6 +312,9 @@ class DeviceClassifier:
 
             self.kmer_major = prepare_kmer_major(db)
             self._interpret = jax.devices()[0].platform != "tpu"
+            self._bm_scan = os.environ.get(
+                "RAXTAX_BM_SCAN", ""
+            ) not in ("", "0")
             # scale-aware FIXED overflow budget: overflow tips track the
             # closest-clade size, which grows with the database. Workloads
             # that exceed it switch to the full-width mux (see _mux_dense)
@@ -353,6 +360,7 @@ class DeviceClassifier:
                 interpret=self._interpret,
                 over_idx=over_idx,
                 over_val=over_val,
+                bm_scan=self._bm_scan,
             )
         return significant_nodes(
             counts,

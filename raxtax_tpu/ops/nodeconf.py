@@ -207,7 +207,7 @@ def _compact_dd_from_cum(cum_hi, cum_lo, starts, ends, conf_hi, k: int):
     return vals, vals_lo, idx, n_sig
 
 
-@partial(jax.jit, static_argnames=("top_k", "interpret"))
+@partial(jax.jit, static_argnames=("top_k", "interpret", "bm_scan"))
 def significant_nodes_planes(
     planes: jax.Array,  # [B, P, S, 128] uint32 counter planes
     table: jax.Array,  # [B, S_max] f32 normalized per-size probabilities
@@ -217,6 +217,7 @@ def significant_nodes_planes(
     interpret: bool = False,
     over_idx: jax.Array | None = None,  # [B, budget] i32 tips with count>15
     over_val: jax.Array | None = None,  # [B, budget] u16 their counts
+    bm_scan: bool = False,
 ):
     """Planes-native variant of :func:`significant_nodes`: the per-tip
     probabilities come straight from the fused decode+lookup kernel, so no
@@ -225,30 +226,56 @@ def significant_nodes_planes(
     With overflow lists (the compress extraction; must cover EVERY tip with
     count > 15), the kernel muxes only the low 4 count bits — a 32x
     shorter select chain — and the rare large-count tips are patched with
-    an exact scatter of table[count]."""
-    from .planes import planes_probs, probs_to_tip_order
+    an exact scatter of table[count].
 
+    `bm_scan` keeps the probs in the kernel's native bit-major layout all
+    the way into the scan (per-tile VMEM reorder), skipping the global
+    tip-order permute — ~1 GB less HBM traffic per 1M x 128 batch. The
+    engine resolves it from RAXTAX_BM_SCAN at create time.
+    """
+    from .planes import (
+        dd_cumsum_pallas_bitmajor,
+        planes_probs,
+        probs_to_tip_order,
+    )
+
+    mux = {"mux_bits": 4} if over_idx is not None else {}
+    probs_bm = planes_probs(planes, table, interpret=interpret, **mux)
     if over_idx is not None:
-        probs = probs_to_tip_order(
-            planes_probs(planes, table, mux_bits=4, interpret=interpret), 0
-        )
         fixval = jnp.take_along_axis(
             table, jnp.clip(over_val.astype(jnp.int32), 0, table.shape[1] - 1),
             axis=1,
         )
         rowid = jnp.broadcast_to(
-            jnp.arange(probs.shape[0], dtype=jnp.int32)[:, None],
+            jnp.arange(probs_bm.shape[0], dtype=jnp.int32)[:, None],
             over_idx.shape,
         )
+    if bm_scan:
+        if over_idx is not None:
+            # scatter the fixups in bit-major coordinates; the 2^30
+            # sentinel maps out of range -> dropped
+            word = over_idx // 32
+            probs_bm = probs_bm.at[
+                rowid, over_idx % 32, word // 128, word % 128
+            ].set(fixval, mode="drop", unique_indices=True)
+        cum_hi, cum_lo = dd_cumsum_pallas_bitmajor(
+            probs_bm, interpret=interpret
+        )
+        pad = ((0, 0), (1, 0))
+        cum_hi, cum_lo = jnp.pad(cum_hi, pad), jnp.pad(cum_lo, pad)
+        conf_hi, _ = node_conf_dd(cum_hi, cum_lo, node_starts, node_ends)
+        k = min(top_k, conf_hi.shape[1])
+        vals, vals_lo, idx, n_sig = _compact_dd_from_cum(
+            cum_hi, cum_lo, node_starts, node_ends, conf_hi, k
+        )
+        return vals, vals_lo, idx, n_sig, (cum_hi, cum_lo)
+    probs = probs_to_tip_order(probs_bm, 0)
+    if over_idx is not None:
         # invalid slots carry the 2^30 sentinel index -> dropped; the
         # per-row indices are sorted and unique (compress contract)
         probs = probs.at[rowid, over_idx].set(
             fixval, mode="drop", unique_indices=True,
             indices_are_sorted=True,
-        )
-    else:
-        probs = probs_to_tip_order(
-            planes_probs(planes, table, interpret=interpret), 0
         )
     cum_hi, cum_lo = tip_prob_cumsum_dd(probs, interpret=interpret)
     conf_hi, _ = node_conf_dd(cum_hi, cum_lo, node_starts, node_ends)

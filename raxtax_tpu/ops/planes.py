@@ -264,9 +264,12 @@ def _dd_add2(a_hi, a_lo, b_hi, b_lo):
     return s, err + a_lo + b_lo
 
 
-def _dd_scan_kernel(nr_total: int, rows: int):
+def _dd_scan_kernel(nr_total: int, rows: int, bitmajor: bool = False):
     def kernel(x_ref, hi_ref, lo_ref, c_hi, c_lo):
-        # x_ref: [1, rows, 128] f32 probs tile (element order row-major);
+        # x_ref: [1, rows, 128] f32 probs tile (element order row-major),
+        # or [1, 32, rows//32, 128] bit-major (bit, s, lane) when
+        # `bitmajor` — reordered to tip order in VMEM, which removes the
+        # global [B, N] permute pass between the probs kernel and the scan;
         # hi/lo_ref: same-shaped cumsum planes; c_hi/c_lo: SMEM carry
         t = pl.program_id(1)
 
@@ -275,9 +278,15 @@ def _dd_scan_kernel(nr_total: int, rows: int):
             c_hi[0] = 0.0
             c_lo[0] = 0.0
 
+        if bitmajor:
+            # tip (s*128+lane)*32+bit: transpose to (s, lane, bit), whose
+            # row-major linear order IS tip order
+            x = x_ref[0].transpose(1, 2, 0).reshape(rows, 128)
+        else:
+            x = x_ref[0]
         row = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 0)
         valid = (t * rows + row) < nr_total
-        hi = jnp.where(valid, x_ref[0], 0.0)
+        hi = jnp.where(valid, x, 0.0)
         lo = jnp.zeros_like(hi)
         # intra-row inclusive scan along lanes (shift-in-zero log steps;
         # a (0,0) double-f32 add is an exact identity, so no masking)
@@ -356,6 +365,62 @@ def dd_cumsum_pallas(probs: jax.Array, interpret: bool = False):
         ),
         interpret=interpret,
     )(x)
+    return hi.reshape(B, N), lo.reshape(B, N)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dd_cumsum_pallas_bitmajor(
+    probs_bm: jax.Array,  # [B, 32, S, 128] f32 bit-major probs
+    interpret: bool = False,
+):
+    """Double-f32 inclusive cumsum in TIP order, fed directly from the
+    bit-major probs layout the planes kernel emits.
+
+    Identical scan arithmetic to :func:`dd_cumsum_pallas`; the (bit, s,
+    lane) -> tip reorder happens per tile inside VMEM, so the global
+    [B, N] permute (`probs_to_tip_order`, ~1 GB of HBM traffic per 1M x
+    128 batch) disappears. Returns (hi, lo), each [B, S*128*32].
+    """
+    B, nbits, S, lanes = probs_bm.shape
+    assert nbits == 32 and lanes == 128
+    N = S * lanes * nbits
+    nr = N // 128  # = S * 32
+    rows = min(nr, 256)
+    assert rows % 32 == 0
+    n_t = pl.cdiv(nr, rows)
+    hi, lo = pl.pallas_call(
+        _dd_scan_kernel(nr, rows, bitmajor=True),
+        grid=(B, n_t),
+        in_specs=[
+            pl.BlockSpec(
+                (1, nbits, rows // 32, lanes),
+                lambda b, t: (b, 0, t, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, rows, 128), lambda b, t: (b, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, rows, 128), lambda b, t: (b, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, nr, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, nr, 128), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((1,), jnp.float32),
+            pltpu.SMEM((1,), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(probs_bm)
     return hi.reshape(B, N), lo.reshape(B, N)
 
 

@@ -121,3 +121,46 @@ def test_dd_cumsum_pallas_tracks_exact_sum():
     # and the recombined value is far tighter than a plain f32 scan
     naive = np.cumsum(probs, axis=1, dtype=np.float32).astype(np.float64)
     assert np.abs(got - exact).max() < np.abs(naive - exact).max() / 50
+
+
+def test_bm_scan_significance_bit_parity():
+    """significant_nodes_planes with bm_scan=True (bit-major scan feed,
+    per-tile VMEM reorder) must match the tip-order-permute path bit for
+    bit, with and without overflow lists."""
+    from raxtax_tpu.ops.compress import compress_planes
+    from raxtax_tpu.ops.nodeconf import significant_nodes_planes
+
+    rng = np.random.default_rng(31)
+    B, S = 3, 3
+    n_pad = S * 128 * TIPS_PER_WORD
+    counts = rng.integers(0, 30, size=(B, n_pad)).astype(np.int64)
+    hot = rng.integers(0, n_pad, size=12)
+    counts[:, hot] = rng.integers(30, 60, size=(B, 12))
+    planes = jnp.asarray(encode_planes(counts, n_planes=6))
+    s_max = 128
+    table = jnp.asarray(rng.random((B, s_max), np.float32) * 1e-3)
+    # synthetic eval-node ranges over the padded tip axis
+    starts = np.sort(rng.integers(0, n_pad, size=200)).astype(np.int32)
+    ends = np.minimum(
+        starts + rng.integers(1, 300, size=200), n_pad
+    ).astype(np.int32)
+    starts, ends = jnp.asarray(starts), jnp.asarray(ends)
+    wire = compress_planes(planes, budget=16, interpret=True)
+    for over in (None, wire):
+        kw = (
+            {}
+            if over is None
+            else {"over_idx": wire[1], "over_val": wire[2]}
+        )
+        want = significant_nodes_planes(
+            planes, table, starts, ends, top_k=64, interpret=True,
+            bm_scan=False, **kw,
+        )
+        got = significant_nodes_planes(
+            planes, table, starts, ends, top_k=64, interpret=True,
+            bm_scan=True, **kw,
+        )
+        for w, g in zip(want[:4], got[:4]):
+            np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+        for w, g in zip(want[4], got[4]):  # the cum pair
+            np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
