@@ -100,6 +100,38 @@ class Taxonomy:
             float(self.range_end[node] - self.range_start[node]) / self.num_tips
         )
 
+    def split_sig_arrays(self):
+        """Structures for split significance compaction
+        (ops/nodeconf._compact_split).
+
+        Partitions the eval view into single-tip nodes (range length 1 —
+        the per-record Taxon leaves, typically ~7/8 of all eval nodes)
+        whose confidence is exactly ``probs[tip]``, and the remaining
+        "inner" nodes that need cumsum boundary gathers. Each tip is
+        assigned at most ONE single-tip node (the first in eval order);
+        further single-tip nodes on the same tip — degenerate lineages
+        where a child spans its parent's whole range — stay on the inner
+        path so no eval node is ever dropped.
+
+        Returns ``(inner_starts, inner_ends, inner_pos, evalpos_of_tip)``,
+        all int32: per-inner-node tip ranges and eval positions, and a
+        [num_tips] map tip -> eval position of its single-tip node (-1
+        when covered by the inner part instead).
+        """
+        ids = self.eval_ids
+        s = self.range_start[ids].astype(np.int32)
+        e = self.range_end[ids].astype(np.int32)
+        pos = np.arange(ids.shape[0], dtype=np.int32)
+        single = (e - s) == 1
+        tips = s[single]
+        first = np.unique(tips, return_index=True)[1]
+        evalpos_of_tip = np.full(self.num_tips, -1, dtype=np.int32)
+        evalpos_of_tip[tips[first]] = pos[single][first]
+        covered = np.zeros(ids.shape[0], dtype=bool)
+        covered[pos[single][first]] = True
+        inner = ~covered
+        return s[inner], e[inner], pos[inner], evalpos_of_tip
+
     def path_from(self, ancestor: int, node: int) -> list[int]:
         """Nodes strictly below `ancestor` down to and including `node`."""
         path = []

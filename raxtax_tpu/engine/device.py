@@ -222,6 +222,10 @@ class DeviceClassifier:
     #: feed the dd scan bit-major probs directly (RAXTAX_BM_SCAN=1): skips
     #: the global tip-order permute between the probs kernel and the scan
     _bm_scan: bool = field(default=False, repr=False)
+    #: split significance compaction (RAXTAX_SPLIT_SIG=1): single-tip eval
+    #: nodes read probs[tip] directly; only the ~1/8 inner nodes pay the
+    #: [B, J] boundary gathers (ops/nodeconf._compact_split)
+    _split: tuple | None = field(default=None, repr=False)
     #: --debug-checks: validate device-stage invariants on the (small)
     #: pulled artifacts — mirrors the reference's asserts (src/prob.rs:98,
     #: src/raxtax.rs:56,72) plus kernel-integrity checks. Off by default:
@@ -290,6 +294,12 @@ class DeviceClassifier:
             self.ref_bits = jnp.asarray(db.ref_major)
         self.node_starts = jnp.asarray(tax.range_start[eval_ids])
         self.node_ends = jnp.asarray(tax.range_end[eval_ids])
+        if mesh is None and os.environ.get(
+            "RAXTAX_SPLIT_SIG", ""
+        ) not in ("", "0"):
+            self._split = tuple(
+                jnp.asarray(a) for a in tax.split_sig_arrays()
+            )
         if mesh is None:
             ptr, ids, is_inner, self._pad_node = descent_arrays(tax)
             self.dsc_range_start = jnp.asarray(tax.range_start)
@@ -361,6 +371,7 @@ class DeviceClassifier:
                 over_idx=over_idx,
                 over_val=over_val,
                 bm_scan=self._bm_scan,
+                split=self._split,
             )
         return significant_nodes(
             counts,
@@ -368,6 +379,7 @@ class DeviceClassifier:
             self.node_starts,
             self.node_ends,
             top_k=top_k,
+            split=self._split,
         )
 
     def _counts(self, query_bits, kmer_idx, kmer_counts):

@@ -184,6 +184,77 @@ def _compact_dd(conf_hi, conf_lo, k: int):
     return vals, vals_lo, idx, n_sig
 
 
+def _compact_split(
+    cum_hi, cum_lo, probs, inner_starts, inner_ends, inner_pos,
+    evalpos_of_tip, k: int,
+):
+    """Split significance compaction: inner nodes via boundary gathers,
+    single-tip nodes straight from `probs`.
+
+    Most eval nodes span exactly one tip (the per-record Taxon leaves), and
+    their confidence is exactly probs[tip] — no cum gathers, no dd
+    subtraction (lo plane is exactly 0, which is MORE accurate than the
+    ~2^-48 dd recovery). Only the inner nodes (typically ~1/8 of J) pay
+    the [B, J_in] boundary gathers, cutting the dominant significance
+    traffic ~8x at the 1M scale.
+
+    `inner_pos` maps inner ranks -> eval positions; `evalpos_of_tip` maps
+    a tip index -> its single-tip node's eval position (-1 when the tip
+    has none, e.g. multi-record species — those are covered by the inner
+    part). Returns the same (vals, vals_lo, idx, n_sig) contract with idx
+    in eval positions, inner entries packed first.
+    """
+    B = probs.shape[0]
+    k_in = min(k, inner_starts.shape[0])
+    conf_in, _ = node_conf_dd(cum_hi, cum_lo, inner_starts, inner_ends)
+    vals_in, idx_in, n_in = threshold_set(conf_in, SIG_THRESHOLD, k_in)
+    safe = jnp.clip(idx_in, 0, inner_starts.shape[0] - 1)
+    s = inner_starts[safe]
+    e = inner_ends[safe]
+    lo_in = _dd_sub(
+        jnp.take_along_axis(cum_hi, e, axis=1),
+        jnp.take_along_axis(cum_lo, e, axis=1),
+        jnp.take_along_axis(cum_hi, s, axis=1),
+        jnp.take_along_axis(cum_lo, s, axis=1),
+    )[1]
+    eval_in = jnp.where(idx_in >= 0, inner_pos[safe], -1)
+
+    tablep = jnp.pad(
+        evalpos_of_tip,
+        (0, probs.shape[1] - evalpos_of_tip.shape[0]),
+        constant_values=-1,
+    )
+    masked = jnp.where(tablep[None, :] >= 0, probs, -1.0)
+    k_t = min(k, masked.shape[1])
+    vals_t, pos_t, n_t = threshold_set(masked, SIG_THRESHOLD, k_t)
+    eval_t = jnp.where(
+        pos_t >= 0, tablep[jnp.clip(pos_t, 0, tablep.shape[0] - 1)], -1
+    )
+
+    # pack: inner entries at slots [0, m_in), tip entries after them
+    rowid = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], (B, max(k_in, k_t))
+    )
+    m_in = jnp.minimum(n_in, k_in)[:, None]
+    io_in = jnp.arange(k_in, dtype=jnp.int32)[None, :]
+    slot_in = jnp.where(io_in < m_in, io_in, k)
+    io_t = jnp.arange(k_t, dtype=jnp.int32)[None, :]
+    slot_t = jnp.where(io_t < jnp.minimum(n_t, k_t)[:, None], m_in + io_t, k)
+    slot_t = jnp.minimum(slot_t, k)
+    vals = jnp.zeros((B, k + 1), jnp.float32)
+    vals_lo = jnp.zeros((B, k + 1), jnp.float32)
+    idx = jnp.full((B, k + 1), -1, jnp.int32)
+    r_in = rowid[:, :k_in]
+    vals = vals.at[r_in, slot_in].set(vals_in, mode="drop")
+    vals_lo = vals_lo.at[r_in, slot_in].set(lo_in, mode="drop")
+    idx = idx.at[r_in, slot_in].set(eval_in, mode="drop")
+    r_t = rowid[:, :k_t]
+    vals = vals.at[r_t, slot_t].set(vals_t, mode="drop")
+    idx = idx.at[r_t, slot_t].set(eval_t, mode="drop")
+    n_sig = n_in + n_t
+    return vals[:, :k], vals_lo[:, :k], idx[:, :k], n_sig
+
+
 def _compact_dd_from_cum(cum_hi, cum_lo, starts, ends, conf_hi, k: int):
     """Threshold-compact without ever materializing conf_lo [B, J].
 
@@ -218,6 +289,8 @@ def significant_nodes_planes(
     over_idx: jax.Array | None = None,  # [B, budget] i32 tips with count>15
     over_val: jax.Array | None = None,  # [B, budget] u16 their counts
     bm_scan: bool = False,
+    split: tuple | None = None,  # (inner_starts, inner_ends, inner_pos,
+    #                               evalpos_of_tip) for _compact_split
 ):
     """Planes-native variant of :func:`significant_nodes`: the per-tip
     probabilities come straight from the fused decode+lookup kernel, so no
@@ -263,8 +336,28 @@ def significant_nodes_planes(
         )
         pad = ((0, 0), (1, 0))
         cum_hi, cum_lo = jnp.pad(cum_hi, pad), jnp.pad(cum_lo, pad)
+        k = min(top_k, node_starts.shape[0])
+        if split is not None:
+            # _compact_split's tip path only needs the prob VALUES plus a
+            # position -> eval-pos table; layout is irrelevant. Remap the
+            # tip-order table into the bit-major flat order (tip t sits at
+            # flat (t%32)*S*128 + t//32, see planes.probs_to_tip_order) and
+            # feed probs_bm un-permuted.
+            S = probs_bm.shape[2]
+            tab = split[3]
+            t = jnp.arange(tab.shape[0], dtype=jnp.int32)
+            tab_bm = (
+                jnp.full((32 * S * 128,), -1, jnp.int32)
+                .at[(t % 32) * (S * 128) + t // 32]
+                .set(tab, unique_indices=True)
+            )
+            vals, vals_lo, idx, n_sig = _compact_split(
+                cum_hi, cum_lo,
+                probs_bm.reshape(probs_bm.shape[0], -1),
+                split[0], split[1], split[2], tab_bm, k,
+            )
+            return vals, vals_lo, idx, n_sig, (cum_hi, cum_lo)
         conf_hi, _ = node_conf_dd(cum_hi, cum_lo, node_starts, node_ends)
-        k = min(top_k, conf_hi.shape[1])
         vals, vals_lo, idx, n_sig = _compact_dd_from_cum(
             cum_hi, cum_lo, node_starts, node_ends, conf_hi, k
         )
@@ -278,8 +371,13 @@ def significant_nodes_planes(
             indices_are_sorted=True,
         )
     cum_hi, cum_lo = tip_prob_cumsum_dd(probs, interpret=interpret)
+    k = min(top_k, node_starts.shape[0])
+    if split is not None:
+        vals, vals_lo, idx, n_sig = _compact_split(
+            cum_hi, cum_lo, probs, *split, k
+        )
+        return vals, vals_lo, idx, n_sig, (cum_hi, cum_lo)
     conf_hi, _ = node_conf_dd(cum_hi, cum_lo, node_starts, node_ends)
-    k = min(top_k, conf_hi.shape[1])
     vals, vals_lo, idx, n_sig = _compact_dd_from_cum(
         cum_hi, cum_lo, node_starts, node_ends, conf_hi, k
     )
@@ -293,6 +391,7 @@ def significant_nodes(
     node_starts: jax.Array,  # [J] int32 eval-node range starts
     node_ends: jax.Array,  # [J] int32 eval-node range ends (exclusive)
     top_k: int = 1024,
+    split: tuple | None = None,
 ):
     """Returns (vals_hi [B,k] f32, vals_lo [B,k] f32, node_idx [B,k] i32,
     n_sig [B] i32, cum0 [B,N+1] device handle) — the top-k eval-node
@@ -304,8 +403,13 @@ def significant_nodes(
     """
     probs = gather_table(counts, table)
     cum_hi, cum_lo = tip_prob_cumsum_dd(probs)
+    k = min(top_k, node_starts.shape[0])
+    if split is not None:
+        vals, vals_lo, idx, n_sig = _compact_split(
+            cum_hi, cum_lo, probs, *split, k
+        )
+        return vals, vals_lo, idx, n_sig, (cum_hi, cum_lo)
     conf_hi, _ = node_conf_dd(cum_hi, cum_lo, node_starts, node_ends)
-    k = min(top_k, conf_hi.shape[1])
     vals, vals_lo, idx, n_sig = _compact_dd_from_cum(
         cum_hi, cum_lo, node_starts, node_ends, conf_hi, k
     )

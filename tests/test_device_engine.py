@@ -84,6 +84,24 @@ def test_device_matches_oracle(small_world, skip_exact, raw_conf):
             assert render(qr, tsv=True) == render(expected, tsv=True), label
 
 
+def test_split_sig_matches_oracle(small_world, monkeypatch):
+    """RAXTAX_SPLIT_SIG=1 (split significance compaction) keeps byte
+    parity with the oracle across match/exact/no-match/ambiguous query
+    profiles."""
+    monkeypatch.setenv("RAXTAX_SPLIT_SIG", "1")
+    db, queries = small_world
+    oracle = OracleClassifier(db)
+    dev = DeviceClassifier.create(db, backend="xla", batch_size=8)
+    assert dev._split is not None
+    for start in range(0, len(queries), 8):
+        chunk = queries[start : start + 8]
+        got = dev.classify_batch(chunk)
+        for (label, seq), qr in zip(chunk, got):
+            expected = oracle.classify(label, seq)
+            assert render(qr) == render(expected), label
+            assert render(qr, tsv=True) == render(expected, tsv=True), label
+
+
 def test_counts_xla_exact(small_world):
     import jax.numpy as jnp
 

@@ -67,7 +67,10 @@ def make_world(seed):
 
 # seeds 1044/1054/1074 reproduce the two historical bug classes
 @pytest.mark.parametrize("seed", [1044, 1054, 1074, 7, 99, 12345])
-def test_random_world_parity(seed):
+@pytest.mark.parametrize("split", [False, True])
+def test_random_world_parity(seed, split, monkeypatch):
+    if split:
+        monkeypatch.setenv("RAXTAX_SPLIT_SIG", "1")
     db, queries = make_world(seed)
     dev = DeviceClassifier.create(db, backend="xla", batch_size=4)
     orc = OracleClassifier(db)

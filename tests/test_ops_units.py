@@ -90,6 +90,64 @@ def test_dd_cumsum_survives_compilation():
     assert abs(naive - exact) > 1e-6
 
 
+def test_compact_split_matches_full_compaction(rng):
+    """_compact_split (single-tip nodes read probs[tip], inner nodes keep
+    the boundary gathers) must select the same significant set as the full
+    compaction, with hi+lo confidences equal to ~1 ulp (the tip path skips
+    the dd subtraction, which only *removes* its ~2^-24 recovery error)."""
+    import jax
+
+    from raxtax_tpu.db.taxonomy import build_taxonomy
+    from raxtax_tpu.ops.nodeconf import (
+        _compact_dd_from_cum,
+        _compact_split,
+        node_conf_dd,
+        tip_prob_cumsum_dd,
+    )
+
+    lineages = []
+    for p in range(2):
+        for f in range(3):
+            for s in range(4):
+                # one species has two records -> a multi-tip Taxon leaf
+                reps = 2 if (p, f, s) == (0, 1, 2) else 1
+                lineages.extend([f"p:P{p},f:F{p}_{f},s:S{p}_{f}_{s}"] * reps)
+    # degenerate lineage: Sequence node spans its parent's whole range
+    lineages.append("p:P2,f:F2_0,s:S2_0_0")
+    lineages.sort()
+    tax = build_taxonomy(lineages)
+    ids = tax.eval_ids
+    starts = jnp.asarray(tax.range_start[ids])
+    ends = jnp.asarray(tax.range_end[ids])
+    split = tuple(jnp.asarray(a) for a in tax.split_sig_arrays())
+
+    B, k = 6, ids.shape[0]
+    probs = rng.random((B, tax.num_tips), dtype=np.float32) * 0.05
+    cum_hi, cum_lo = jax.jit(tip_prob_cumsum_dd)(jnp.asarray(probs))
+    conf_hi, _ = node_conf_dd(cum_hi, cum_lo, starts, ends)
+    w_vals, w_lo, w_idx, w_n = _compact_dd_from_cum(
+        cum_hi, cum_lo, starts, ends, conf_hi, k
+    )
+    g_vals, g_lo, g_idx, g_n = _compact_split(
+        cum_hi, cum_lo, jnp.asarray(probs), *split, k
+    )
+    np.testing.assert_array_equal(np.asarray(w_n), np.asarray(g_n))
+    w_vals, w_lo, w_idx = map(np.asarray, (w_vals, w_lo, w_idx))
+    g_vals, g_lo, g_idx = map(np.asarray, (g_vals, g_lo, g_idx))
+    for b in range(B):
+        want = {
+            int(w_idx[b, j]): float(w_vals[b, j]) + float(w_lo[b, j])
+            for j in range(int(w_n[b]))
+        }
+        got = {
+            int(g_idx[b, j]): float(g_vals[b, j]) + float(g_lo[b, j])
+            for j in range(int(g_n[b]))
+        }
+        assert set(want) == set(got)
+        for n in want:
+            assert abs(want[n] - got[n]) < 1e-6, (b, n)
+
+
 def test_compact_dd_from_cum_matches_full_conf_lo(rng):
     """_compact_dd_from_cum (lo plane redone at selected indices only) must
     be bit-equal to the full-array _compact_dd it replaced in the

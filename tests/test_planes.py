@@ -164,3 +164,66 @@ def test_bm_scan_significance_bit_parity():
             np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
         for w, g in zip(want[4], got[4]):  # the cum pair
             np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+
+
+def test_bm_scan_split_compaction_parity():
+    """bm_scan=True composed with split compaction (tip probs read straight
+    from the bit-major layout) selects the same significant set with the
+    same hi+lo confidences as the tip-order split path."""
+    from raxtax_tpu.ops.nodeconf import significant_nodes_planes
+
+    rng = np.random.default_rng(77)
+    B, S = 2, 2
+    n_pad = S * 128 * TIPS_PER_WORD
+    counts = rng.integers(0, 15, size=(B, n_pad)).astype(np.int64)
+    # ~40 rare count-15 tips per row are the only single-tip hits: the
+    # total significant set stays under top_k, so no truncation and the
+    # two paths must select identical sets
+    for b in range(B):
+        counts[b, rng.integers(0, n_pad, size=40)] = 15
+    planes = jnp.asarray(encode_planes(counts, n_planes=4))
+    table_np = (rng.random((B, 64)) * 1e-5).astype(np.float32)
+    table_np[:, 15] = 0.006
+    table = jnp.asarray(table_np)
+    # synthetic eval view: single-tip nodes on even tips of the first
+    # half, inner nodes covering random ranges
+    n_single = n_pad // 4
+    single_tips = np.arange(0, n_single * 2, 2, dtype=np.int32)
+    inner_starts = np.sort(
+        rng.integers(0, n_pad - 1, size=60)
+    ).astype(np.int32)
+    inner_ends = np.minimum(
+        inner_starts + rng.integers(2, 200, size=60), n_pad
+    ).astype(np.int32)
+    starts = np.concatenate([inner_starts, single_tips])
+    ends = np.concatenate([inner_ends, single_tips + 1])
+    evalpos_of_tip = np.full(n_pad, -1, np.int32)
+    evalpos_of_tip[single_tips] = 60 + np.arange(n_single, dtype=np.int32)
+    split = (
+        jnp.asarray(inner_starts),
+        jnp.asarray(inner_ends),
+        jnp.asarray(np.arange(60, dtype=np.int32)),
+        jnp.asarray(evalpos_of_tip),
+    )
+    kw = dict(top_k=128, interpret=True, split=split)
+    want = significant_nodes_planes(
+        planes, table, jnp.asarray(starts), jnp.asarray(ends),
+        bm_scan=False, **kw,
+    )
+    got = significant_nodes_planes(
+        planes, table, jnp.asarray(starts), jnp.asarray(ends),
+        bm_scan=True, **kw,
+    )
+    np.testing.assert_array_equal(np.asarray(want[3]), np.asarray(got[3]))
+    w_vals, w_lo, w_idx, w_n = (np.asarray(x) for x in want[:4])
+    g_vals, g_lo, g_idx, g_n = (np.asarray(x) for x in got[:4])
+    for b in range(B):
+        w = {
+            int(w_idx[b, j]): float(w_vals[b, j]) + float(w_lo[b, j])
+            for j in range(int(w_n[b]))
+        }
+        g = {
+            int(g_idx[b, j]): float(g_vals[b, j]) + float(g_lo[b, j])
+            for j in range(int(g_n[b]))
+        }
+        assert w == g, b
