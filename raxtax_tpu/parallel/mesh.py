@@ -37,6 +37,81 @@ from ..ops.nodeconf import (
 )
 
 
+def _split_compact_mesh(probs, cum_hi, cum_lo, split, lo, n_local, k):
+    """Split significance compaction under a model-sharded mesh.
+
+    The dual of ops/nodeconf._compact_split for shard_map stages: inner
+    nodes keep the clipped-range partial confidences merged with a psum —
+    but at [B, J_in] (~1/8 of J) instead of [B, J] — while single-tip
+    nodes are thresholded locally on the owning shard (their partial conf
+    on every other shard is exactly 0, so the psum'd value IS the local
+    prob) and merged with an [B, M*k_t] all_gather of the compacted lists.
+    Bit-identical selection to the full psum path: adding exact zeros in
+    f32 changes nothing.
+
+    `split` is (inner_starts, inner_ends, inner_pos, evalpos_of_tip)
+    with evalpos_of_tip padded to n_padded; `lo` is this shard's first
+    global tip. Returns (vals, vals_lo, idx, n_sig) with idx in eval
+    positions, replicated across the model axis.
+    """
+    inner_s, inner_e, inner_pos, tab = split
+    B = probs.shape[0]
+    s = jnp.clip(inner_s - lo, 0, n_local)
+    e = jnp.clip(inner_e - lo, 0, n_local)
+    ch, cl = node_conf_dd(cum_hi, cum_lo, s, e)
+    conf_in = jax.lax.psum(ch, "model")
+    k_in = min(k, conf_in.shape[1])
+    vals_in, idx_in, n_in = threshold_set(conf_in, SIG_THRESHOLD, k_in)
+    lo_in = jax.lax.psum(
+        jnp.take_along_axis(
+            cl, jnp.clip(idx_in, 0, cl.shape[1] - 1), axis=1
+        ),
+        "model",
+    )
+    eval_in = jnp.where(
+        idx_in >= 0,
+        inner_pos[jnp.clip(idx_in, 0, inner_pos.shape[0] - 1)],
+        -1,
+    )
+
+    tab_l = jax.lax.dynamic_slice(tab, (lo,), (n_local,))
+    masked = jnp.where(tab_l[None, :] >= 0, probs, -1.0)
+    k_t = min(k, n_local)
+    vals_t, pos_t, n_t = threshold_set(masked, SIG_THRESHOLD, k_t)
+    eval_t = jnp.where(
+        pos_t >= 0, tab_l[jnp.clip(pos_t, 0, n_local - 1)], -1
+    )
+    m_t = jnp.minimum(n_t, k_t)
+    g_vals = jax.lax.all_gather(vals_t, "model", axis=1)  # [B, M, k_t]
+    g_eval = jax.lax.all_gather(eval_t, "model", axis=1)
+    g_m = jax.lax.all_gather(m_t, "model", axis=1)  # [B, M]
+    n_t_tot = jax.lax.psum(n_t, "model")
+
+    # pack: inner entries first, then each shard's tip entries in order
+    m_in = jnp.minimum(n_in, k_in)
+    off = m_in[:, None] + jnp.cumsum(g_m, axis=1) - g_m  # [B, M]
+    jo = jnp.arange(k_t, dtype=jnp.int32)[None, None, :]
+    slot_t = jnp.where(jo < g_m[:, :, None], off[:, :, None] + jo, k)
+    slot_t = jnp.minimum(slot_t, k).reshape(B, -1)
+    io_in = jnp.arange(k_in, dtype=jnp.int32)[None, :]
+    slot_in = jnp.where(io_in < m_in[:, None], io_in, k)
+    rowid_in = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], (B, k_in)
+    )
+    rowid_t = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], slot_t.shape
+    )
+    vals = jnp.zeros((B, k + 1), jnp.float32)
+    vals_lo = jnp.zeros((B, k + 1), jnp.float32)
+    idx = jnp.full((B, k + 1), -1, jnp.int32)
+    vals = vals.at[rowid_in, slot_in].set(vals_in, mode="drop")
+    vals_lo = vals_lo.at[rowid_in, slot_in].set(lo_in, mode="drop")
+    idx = idx.at[rowid_in, slot_in].set(eval_in, mode="drop")
+    vals = vals.at[rowid_t, slot_t].set(g_vals.reshape(B, -1), mode="drop")
+    idx = idx.at[rowid_t, slot_t].set(g_eval.reshape(B, -1), mode="drop")
+    return vals[:, :k], vals_lo[:, :k], idx[:, :k], n_in + n_t_tot
+
+
 def make_mesh(spec: str = "", devices=None) -> Mesh:
     """Create a ('data', 'model') mesh.
 
@@ -105,6 +180,9 @@ class ShardedPipeline:
     dsc_child_ids: jax.Array
     dsc_is_inner: jax.Array
     pad_node: int
+    #: split significance compaction (RAXTAX_SPLIT_SIG=1): replicated
+    #: (inner_starts, inner_ends, inner_pos, evalpos_of_tip[n_padded])
+    split: tuple | None = None
 
     @classmethod
     def create(cls, db, mesh: Mesh, backend: str = "xla") -> "ShardedPipeline":
@@ -145,6 +223,16 @@ class ShardedPipeline:
         repl = NamedSharding(mesh, P())
         eval_ids = tax.eval_ids
         ptr, ids, is_inner, pad_node = descent_arrays(tax)
+        split = None
+        import os
+
+        if os.environ.get("RAXTAX_SPLIT_SIG", "") not in ("", "0"):
+            i_s, i_e, i_p, tab = tax.split_sig_arrays()
+            tab_p = np.full(n_padded, -1, dtype=np.int32)
+            tab_p[: tab.shape[0]] = tab
+            split = tuple(
+                jax.device_put(a, repl) for a in (i_s, i_e, i_p, tab_p)
+            )
         return cls(
             mesh=mesh,
             num_tips=db.num_tips,
@@ -163,6 +251,7 @@ class ShardedPipeline:
             dsc_child_ids=jax.device_put(ids, repl),
             dsc_is_inner=jax.device_put(is_inner, repl),
             pad_node=pad_node,
+            split=split,
         )
 
     @property
@@ -400,6 +489,18 @@ class ShardedPipeline:
             probs = gather_table(counts_l, table_l)
             cum_hi, cum_lo = tip_prob_cumsum_dd(probs)  # [B_l, N_l+1]
             lo = jax.lax.axis_index("model") * n_local
+            if self.split is not None:
+                k = min(top_k, starts.shape[0])
+                vals, vals_lo, idx, n_sig = _split_compact_mesh(
+                    probs, cum_hi, cum_lo, self.split, lo, n_local, k
+                )
+                return (
+                    self._replicate(vals),
+                    self._replicate(vals_lo),
+                    self._replicate(idx),
+                    self._replicate(n_sig),
+                    (cum_hi, cum_lo),
+                )
             s = jnp.clip(starts - lo, 0, n_local)
             e = jnp.clip(ends - lo, 0, n_local)
             ch, cl = node_conf_dd(cum_hi, cum_lo, s, e)
@@ -455,6 +556,18 @@ class ShardedPipeline:
             )  # [B_l, n_local]
             cum_hi, cum_lo = tip_prob_cumsum_dd(probs, interpret=interpret)
             lo = jax.lax.axis_index("model") * n_local
+            if self.split is not None:
+                k = min(top_k, starts.shape[0])
+                vals, vals_lo, idx, n_sig = _split_compact_mesh(
+                    probs, cum_hi, cum_lo, self.split, lo, n_local, k
+                )
+                return (
+                    self._replicate(vals),
+                    self._replicate(vals_lo),
+                    self._replicate(idx),
+                    self._replicate(n_sig),
+                    (cum_hi, cum_lo),
+                )
             s = jnp.clip(starts - lo, 0, n_local)
             e = jnp.clip(ends - lo, 0, n_local)
             ch, cl = node_conf_dd(cum_hi, cum_lo, s, e)

@@ -73,6 +73,26 @@ def test_sharded_skip_exact(world):
         assert qr.out_string() == oracle.classify(label, seq).out_string(), label
 
 
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_sharded_split_sig_matches_oracle(world, backend, monkeypatch):
+    """RAXTAX_SPLIT_SIG=1 under the mesh: inner nodes psum'd at [B, J_in],
+    single-tip nodes thresholded on their owning shard and merged with an
+    all_gather — still byte-parity with the oracle."""
+    monkeypatch.setenv("RAXTAX_SPLIT_SIG", "1")
+    db, queries = world
+    mesh = make_mesh("2,4")
+    dev = DeviceClassifier.create(
+        db, backend=backend, batch_size=4, mesh=mesh
+    )
+    assert dev.pipeline.split is not None
+    oracle = OracleClassifier(db)
+    got = []
+    for start in range(0, len(queries), dev.batch_size):
+        got += dev.classify_batch(queries[start : start + dev.batch_size])
+    for (label, seq), qr in zip(queries, got):
+        assert qr.out_string() == oracle.classify(label, seq).out_string(), label
+
+
 def test_pad_to_multiple():
     x = np.ones((10, 3))
     y = pad_to_multiple(x, 8)
