@@ -50,11 +50,20 @@ def main() -> int:
     mesh = make_mesh(args.mesh) if args.mesh else None
     flag_combos = list(itertools.product([False, True], [False, True]))
     total = mismatches = 0
+    import os
+
     for t in range(args.trials):
         seed = args.seed0 + t
         db, queries = make_world(seed)
         backend = args.backends[t % len(args.backends)]
         skip_exact, raw_conf = flag_combos[t % 4]
+        # significance-path variants (engine reads these at create time):
+        # periods coprime with the backend/flag cycles so all combinations
+        # appear across a 50-trial run
+        split = bool((t // 3) % 2)
+        bm = bool((t // 5) % 2)
+        os.environ["RAXTAX_SPLIT_SIG"] = "1" if split else "0"
+        os.environ["RAXTAX_BM_SCAN"] = "1" if bm else "0"
         dev = DeviceClassifier.create(
             db,
             backend=backend,
@@ -104,7 +113,7 @@ def main() -> int:
         print(
             f"trial {t}: seed={seed} backend={backend} "
             f"skip={int(skip_exact)} raw={int(raw_conf)} "
-            f"pipe={int(pipelined)} "
+            f"pipe={int(pipelined)} split={int(split)} bm={int(bm)} "
             f"queries={len(queries)} {'OK' if ok else 'MISMATCH'}",
             flush=True,
         )
