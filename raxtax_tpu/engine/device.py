@@ -222,6 +222,16 @@ class DeviceClassifier:
     #: feed the dd scan bit-major probs directly (RAXTAX_BM_SCAN=1): skips
     #: the global tip-order permute between the probs kernel and the scan
     _bm_scan: bool = field(default=False, repr=False)
+    #: block-sparse postings fold (RAXTAX_SPARSE_FOLD, default on for the
+    #: single-device pallas backend): stream only the (k-mer, ref-block)
+    #: pairs that contain postings — the blockwise image of the reference's
+    #: inverted-index walk (src/raxtax.rs:58-64). Sticky: a workload whose
+    #: pair count exceeds the crossover budget switches permanently to the
+    #: dense fused-gather fold (same matrix layout, no relayout).
+    _sparse: bool = field(default=False, repr=False)
+    _blk_ptr: object = field(default=None, repr=False)
+    _blk_ids: object = field(default=None, repr=False)
+    _pairs_hw: int = field(default=0, repr=False)
     #: split significance compaction (RAXTAX_SPLIT_SIG=1): single-tip eval
     #: nodes read probs[tip] directly; only the ~1/8 inner nodes pay the
     #: [B, J] boundary gathers (ops/nodeconf._compact_split)
@@ -318,9 +328,22 @@ class DeviceClassifier:
         if mesh is None and backend == "pallas":
             import jax
 
-            from ..ops.intersect_pallas import prepare_kmer_major
+            from ..ops.intersect_pallas import (
+                prepare_kmer_major,
+                prepare_kmer_major_sparse,
+            )
 
-            self.kmer_major = prepare_kmer_major(db)
+            self._sparse = os.environ.get(
+                "RAXTAX_SPARSE_FOLD", "1"
+            ) not in ("", "0")
+            if self._sparse:
+                # the sparse layout (3-D, block-padded) also serves the
+                # dense fused-gather fallback — one device copy either way
+                self.kmer_major, self._blk_ptr, self._blk_ids = (
+                    prepare_kmer_major_sparse(db)
+                )
+            else:
+                self.kmer_major = prepare_kmer_major(db)
             self._interpret = jax.devices()[0].platform != "tpu"
             self._bm_scan = os.environ.get(
                 "RAXTAX_BM_SCAN", ""
@@ -599,6 +622,54 @@ class DeviceClassifier:
                 fallback_map[(b, int(eval_ids[pos]))] = cur
         return fallback_map
 
+    def _sparse_counts(self, kmer_idx: np.ndarray, k_pad: int):
+        """Block-sparse fold dispatch, or None after a sticky fallback.
+
+        The pair budget is the work crossover against the dense fused fold
+        (~k_pad * S / 24 pairs); exceeding it once flips the engine to the
+        dense kernel permanently — real conserved-marker k-mers that post
+        in every block would pay the ripple fold's higher per-word cost
+        for no traffic win.
+        """
+        from ..ops.intersect_pallas import (
+            PAIRS_PER_STEP,
+            PAD_ROW,
+            build_pairs,
+            intersection_planes_sparse,
+        )
+
+        S = self.kmer_major.shape[1]
+        budget = max(2048, kmer_idx.shape[1] * S // 24)
+        res = build_pairs(kmer_idx, self._blk_ptr, self._blk_ids, budget)
+        if res is None:
+            self._sparse = False
+            log.info(
+                "dense postings profile (pair budget %d exceeded): "
+                "switching to the dense fused fold", budget,
+            )
+            return None
+        pair_kmer, pair_blk, max_pairs = res
+        # sticky pow2 width bucket: each new width is a fresh Mosaic shape
+        # (minutes through this platform's remote compile service)
+        p_pad = max(
+            self._pairs_hw,
+            max(256, 1 << (max(max_pairs, 1) - 1).bit_length()),
+        )
+        self._pairs_hw = p_pad
+        if pair_kmer.shape[1] < p_pad:
+            pad = p_pad - pair_kmer.shape[1]
+            pair_kmer = np.pad(
+                pair_kmer, ((0, 0), (0, pad)), constant_values=PAD_ROW
+            )
+            pair_blk = np.pad(pair_blk, ((0, 0), (0, pad)))
+        else:
+            pair_kmer = pair_kmer[:, :p_pad]
+            pair_blk = pair_blk[:, :p_pad]
+        return intersection_planes_sparse(
+            pair_kmer, pair_blk, self.kmer_major, max_count=k_pad,
+            interpret=self._interpret,
+        )
+
     def submit_batch(self, chunk: list[tuple[str, np.ndarray]]):
         """Host prep + async device dispatch of the counts/histogram stage.
 
@@ -665,12 +736,18 @@ class DeviceClassifier:
 
             # `counts` carries the counter planes end-to-end in this mode
             if self.backend == "pallas":
-                from ..ops.intersect_pallas import intersection_planes_pallas
+                counts = None
+                if self._sparse:
+                    counts = self._sparse_counts(kmer_idx, k_pad)
+                if counts is None:
+                    from ..ops.intersect_pallas import (
+                        intersection_planes_pallas,
+                    )
 
-                counts = intersection_planes_pallas(
-                    kmer_idx, self.kmer_major, max_count=k_pad,
-                    interpret=self._interpret,
-                )
+                    counts = intersection_planes_pallas(
+                        kmer_idx, self.kmer_major, max_count=k_pad,
+                        interpret=self._interpret,
+                    )
             else:
                 from ..ops.intersect_stream import intersection_planes_stream
 
