@@ -648,7 +648,7 @@ class DeviceClassifier:
                 "switching to the dense fused fold", budget,
             )
             return None
-        pair_kmer, pair_blk, max_pairs = res
+        pair_kmer, pair_blk, max_pairs, totals = res
         # sticky pow2 width bucket: each new width is a fresh Mosaic shape
         # (minutes through this platform's remote compile service)
         p_pad = max(
@@ -667,7 +667,7 @@ class DeviceClassifier:
             pair_blk = pair_blk[:, :p_pad]
         return intersection_planes_sparse(
             pair_kmer, pair_blk, self.kmer_major, max_count=k_pad,
-            interpret=self._interpret,
+            interpret=self._interpret, totals=totals,
         )
 
     def submit_batch(self, chunk: list[tuple[str, np.ndarray]]):
@@ -747,6 +747,7 @@ class DeviceClassifier:
                     counts = intersection_planes_pallas(
                         kmer_idx, self.kmer_major, max_count=k_pad,
                         interpret=self._interpret,
+                        kcounts=np.asarray(ks, np.int64),
                     )
             else:
                 from ..ops.intersect_stream import intersection_planes_stream

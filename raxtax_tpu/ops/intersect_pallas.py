@@ -146,13 +146,20 @@ def _hs_kernel_fused(n_high: int):
     arrive as 16 separate (1, S, 128) input blocks whose index maps read
     the scalar-prefetched k-mer ids — the rows stream from the kmer-major
     matrix in HBM straight into the VMEM pipeline, never materializing the
-    [B * K_pad, Nw] gathered copy (halves the stage's HBM traffic)."""
+    [B * K_pad, Nw] gathered copy (halves the stage's HBM traffic).
 
-    def kernel(idx_ref, *refs):
+    Steps past the query's real k-mer count (`ksteps_ref`) skip the whole
+    fold: the kernel is VPU-bound, and sticky k_pad high-watering makes
+    ~20-30% of steps pure padding on typical workloads. Padded slots all
+    index the PAD_ROW block, so consecutive padded steps present identical
+    block indices and the pipeline elides their copies."""
+
+    def kernel(idx_ref, ksteps_ref, *refs):
         # refs: 16 row refs [1, S, 128], out_ref, acc scratch
         rows = refs[:HS_BLOCK]
         out_ref = refs[HS_BLOCK]
         acc = refs[HS_BLOCK + 1]
+        b = pl.program_id(0)
         k = pl.program_id(1)
         n_k = pl.num_programs(1)
 
@@ -160,32 +167,34 @@ def _hs_kernel_fused(n_high: int):
         def _():
             acc[...] = jnp.zeros_like(acc)
 
-        x = [rows[i][0] for i in range(HS_BLOCK)]
-        ones, twos = acc[0], acc[1]
-        fours, eights = acc[2], acc[3]
+        @pl.when(k < ksteps_ref[b])
+        def _():
+            x = [rows[i][0] for i in range(HS_BLOCK)]
+            ones, twos = acc[0], acc[1]
+            fours, eights = acc[2], acc[3]
 
-        ones, t0 = _csa(ones, x[0], x[1])
-        ones, t1 = _csa(ones, x[2], x[3])
-        twos, f0 = _csa(twos, t0, t1)
-        ones, t0 = _csa(ones, x[4], x[5])
-        ones, t1 = _csa(ones, x[6], x[7])
-        twos, f1 = _csa(twos, t0, t1)
-        fours, e0 = _csa(fours, f0, f1)
-        ones, t0 = _csa(ones, x[8], x[9])
-        ones, t1 = _csa(ones, x[10], x[11])
-        twos, f0 = _csa(twos, t0, t1)
-        ones, t0 = _csa(ones, x[12], x[13])
-        ones, t1 = _csa(ones, x[14], x[15])
-        twos, f1 = _csa(twos, t0, t1)
-        fours, e1 = _csa(fours, f0, f1)
-        eights, sixteens = _csa(eights, e0, e1)
+            ones, t0 = _csa(ones, x[0], x[1])
+            ones, t1 = _csa(ones, x[2], x[3])
+            twos, f0 = _csa(twos, t0, t1)
+            ones, t0 = _csa(ones, x[4], x[5])
+            ones, t1 = _csa(ones, x[6], x[7])
+            twos, f1 = _csa(twos, t0, t1)
+            fours, e0 = _csa(fours, f0, f1)
+            ones, t0 = _csa(ones, x[8], x[9])
+            ones, t1 = _csa(ones, x[10], x[11])
+            twos, f0 = _csa(twos, t0, t1)
+            ones, t0 = _csa(ones, x[12], x[13])
+            ones, t1 = _csa(ones, x[14], x[15])
+            twos, f1 = _csa(twos, t0, t1)
+            fours, e1 = _csa(fours, f0, f1)
+            eights, sixteens = _csa(eights, e0, e1)
 
-        acc[0], acc[1], acc[2], acc[3] = ones, twos, fours, eights
-        carry = sixteens
-        for p in range(n_high):
-            plane = acc[TIERS + p]
-            acc[TIERS + p] = plane ^ carry
-            carry = plane & carry
+            acc[0], acc[1], acc[2], acc[3] = ones, twos, fours, eights
+            carry = sixteens
+            for p in range(n_high):
+                plane = acc[TIERS + p]
+                acc[TIERS + p] = plane ^ carry
+                carry = plane & carry
 
         @pl.when(k == n_k - 1)
         def _():
@@ -199,6 +208,7 @@ def _hs_kernel_fused(n_high: int):
 )
 def _hs_planes_fused(
     kmer_idx: jax.Array,  # [B, K_pad] int32 (PAD_ROW-padded)
+    ksteps: jax.Array,  # [B] int32 real fold steps (rest skipped)
     kmer_major3: jax.Array,  # [65537, S, 128] uint32
     n_high: int,
     interpret: bool = False,
@@ -212,18 +222,18 @@ def _hs_planes_fused(
         pl.BlockSpec(
             (1, sublanes, lanes),
             # i=i binds the row slot; idx is the scalar-prefetched ref
-            lambda b, k, idx, i=i: (idx[b, k * HS_BLOCK + i], 0, 0),
+            lambda b, k, idx, ks, i=i: (idx[b, k * HS_BLOCK + i], 0, 0),
             memory_space=pltpu.VMEM,
         )
         for i in range(HS_BLOCK)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=row_specs,
         out_specs=pl.BlockSpec(
             (1, n_planes, sublanes, lanes),
-            lambda b, k, idx: (b, 0, 0, 0),
+            lambda b, k, idx, ks: (b, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -237,7 +247,7 @@ def _hs_planes_fused(
             (B, n_planes, sublanes, lanes), jnp.uint32
         ),
         interpret=interpret,
-    )(kmer_idx, *([kmer_major3] * HS_BLOCK))
+    )(kmer_idx, ksteps, *([kmer_major3] * HS_BLOCK))
 
 
 BLOCK_SUB = 8  #: sublanes per sparse-fold block (Mosaic u32 min tile)
@@ -262,7 +272,7 @@ def _sparse_kernel(n_planes: int, block_sub: int = BLOCK_SUB):
     sparsity factor (~10-50x at the 1M-reference scale).
     """
 
-    def kernel(kidx_ref, bidx_ref, *refs):
+    def kernel(kidx_ref, bidx_ref, psteps_ref, *refs):
         rows = refs[:PAIRS_PER_STEP]
         out_ref = refs[PAIRS_PER_STEP]
         acc = refs[PAIRS_PER_STEP + 1]
@@ -274,14 +284,16 @@ def _sparse_kernel(n_planes: int, block_sub: int = BLOCK_SUB):
         def _():
             acc[...] = jnp.zeros_like(acc)
 
-        for i in range(PAIRS_PER_STEP):
-            blk = bidx_ref[b, step * PAIRS_PER_STEP + i]
-            off = blk * block_sub
-            carry = rows[i][0]
-            for p in range(n_planes):
-                cur = acc[p, pl.ds(off, block_sub), :]
-                acc[p, pl.ds(off, block_sub), :] = cur ^ carry
-                carry = cur & carry
+        @pl.when(step < psteps_ref[b])
+        def _():
+            for i in range(PAIRS_PER_STEP):
+                blk = bidx_ref[b, step * PAIRS_PER_STEP + i]
+                off = blk * block_sub
+                carry = rows[i][0]
+                for p in range(n_planes):
+                    cur = acc[p, pl.ds(off, block_sub), :]
+                    acc[p, pl.ds(off, block_sub), :] = cur ^ carry
+                    carry = cur & carry
 
         @pl.when(step == n_steps - 1)
         def _():
@@ -296,6 +308,7 @@ def _sparse_kernel(n_planes: int, block_sub: int = BLOCK_SUB):
 def _sparse_planes(
     pair_kmer: jax.Array,  # [B, P_pad] int32 k-mer row ids (PAD_ROW-padded)
     pair_blk: jax.Array,  # [B, P_pad] int32 block ids (0 for padding)
+    psteps: jax.Array,  # [B] int32 real fold steps (rest skipped)
     kmer_major3: jax.Array,  # [65537, S, 128] uint32, S % block_sub == 0
     n_high: int,
     interpret: bool = False,
@@ -310,7 +323,7 @@ def _sparse_planes(
         pl.BlockSpec(
             (1, block_sub, lanes),
             # kidx picks the postings row, bidx the 8-sublane block in it
-            lambda b, s, kidx, bidx, i=i: (
+            lambda b, s, kidx, bidx, ps, i=i: (
                 kidx[b, s * PAIRS_PER_STEP + i],
                 bidx[b, s * PAIRS_PER_STEP + i],
                 0,
@@ -320,12 +333,12 @@ def _sparse_planes(
         for i in range(PAIRS_PER_STEP)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=row_specs,
         out_specs=pl.BlockSpec(
             (1, n_planes, S, lanes),
-            lambda b, s, kidx, bidx: (b, 0, 0, 0),
+            lambda b, s, kidx, bidx, ps: (b, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[pltpu.VMEM((n_planes, S, lanes), jnp.uint32)],
@@ -335,7 +348,7 @@ def _sparse_planes(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, n_planes, S, lanes), jnp.uint32),
         interpret=interpret,
-    )(pair_kmer, pair_blk, *([kmer_major3] * PAIRS_PER_STEP))
+    )(pair_kmer, pair_blk, psteps, *([kmer_major3] * PAIRS_PER_STEP))
 
 
 def prepare_kmer_major_sparse(db, block_sub: int = BLOCK_SUB):
@@ -367,10 +380,12 @@ def build_pairs(
     blk_ptr: np.ndarray,
     blk_ids: np.ndarray,
     budget: int,
-) -> tuple[np.ndarray, np.ndarray, int] | None:
-    """(pair_kmer [B, P_pad], pair_blk [B, P_pad], max_pairs), or None when
-    some query's pair count exceeds `budget` (caller falls back to the
-    dense fold). Padding pairs point at the all-zero PAD_ROW / block 0."""
+) -> tuple[np.ndarray, np.ndarray, int, np.ndarray] | None:
+    """(pair_kmer [B, P_pad], pair_blk [B, P_pad], max_pairs, totals [B]),
+    or None when some query's pair count exceeds `budget` (caller falls
+    back to the dense fold). Padding pairs point at the all-zero PAD_ROW /
+    block 0 (arithmetic no-ops, and skipped entirely by the kernel's
+    per-query step gate)."""
     B, _ = kmer_idx.shape
     starts = blk_ptr[kmer_idx]
     counts = (blk_ptr[kmer_idx + 1] - starts).astype(np.int64)
@@ -396,7 +411,7 @@ def build_pairs(
         pair_kmer[b, : totals[b]] = np.repeat(
             kmer_idx[b, nz].astype(np.int32), reps
         )
-    return pair_kmer, pair_blk, max_pairs
+    return pair_kmer, pair_blk, max_pairs, totals
 
 
 def _ceil_to(x: int, m: int) -> int:
@@ -410,16 +425,29 @@ def intersection_planes_sparse(
     max_count: int,
     interpret: bool | None = None,
     block_sub: int = BLOCK_SUB,
+    totals: np.ndarray | None = None,  # [B] real pair counts from build_pairs
 ) -> jax.Array:  # [B, P, S, 128] uint32 binary counter planes
     """Block-sparse variant of :func:`intersection_planes_pallas`: identical
     output planes, HBM traffic proportional to the postings' blockwise
-    occupancy instead of |k-mers| x num_tips."""
+    occupancy instead of |k-mers| x num_tips.
+
+    `totals` lets the kernel skip steps past each query's real pair count —
+    pair counts vary widely across a batch, so the skip typically removes
+    far more work here than in the dense fold."""
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     n_high = max(int(np.ceil(np.log2(max_count + 1))) - TIERS, 1)
+    B, p_pad = np.asarray(pair_kmer).shape
+    if totals is None:
+        psteps = np.full(B, p_pad // PAIRS_PER_STEP, np.int32)
+    else:
+        psteps = (
+            -(-np.asarray(totals, np.int64) // PAIRS_PER_STEP)
+        ).astype(np.int32)
     return _sparse_planes(
         jnp.asarray(pair_kmer),
         jnp.asarray(pair_blk),
+        jnp.asarray(psteps),
         kmer_major3,
         n_high,
         interpret,
@@ -483,6 +511,7 @@ def intersection_planes_pallas(
     max_count: int | None = None,
     interpret: bool | None = None,
     gather_budget_bytes: int = 1 << 30,
+    kcounts: np.ndarray | None = None,  # [B] real distinct-k-mer counts
 ) -> jax.Array:  # [B, TIERS + n_high, S, 128] uint32 counter planes
     """Counter planes of the intersection counts (no dense expansion).
 
@@ -495,6 +524,11 @@ def intersection_planes_pallas(
     materializing the XLA-gathered row copy (halves the stage's HBM
     traffic). It is selected by the LAYOUT of `kmer_major` — 3-D means
     `prepare_kmer_major` was built for fused mode (RAXTAX_FUSED_GATHER=1).
+
+    `kcounts` (fused path only) lets the kernel skip the fold on padding
+    steps past each query's real k-mer count — the sticky k_pad
+    high-water bucketing makes ~20-30% of steps pure padding on typical
+    workloads, and the kernel is VPU-bound.
     """
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -504,8 +538,14 @@ def intersection_planes_pallas(
     max_count = max_count if max_count is not None else k_pad
     n_high = max(int(np.ceil(np.log2(max_count + 1))) - TIERS, 1)
     if kmer_major.ndim == 3:
+        if kcounts is None:
+            ksteps = np.full(B, k_pad // HS_BLOCK, np.int32)
+        else:
+            ksteps = -(-np.asarray(kcounts, np.int64) // HS_BLOCK)
+            ksteps = ksteps.astype(np.int32)
         return _hs_planes_fused(
-            jnp.asarray(kmer_idx), kmer_major, n_high, interpret
+            jnp.asarray(kmer_idx), jnp.asarray(ksteps), kmer_major,
+            n_high, interpret,
         )
     # chunk the query batch so the gathered rows stay under the HBM budget
     row_bytes = int(np.prod(kmer_major.shape[1:])) * 4

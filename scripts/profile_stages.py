@@ -114,6 +114,18 @@ def main() -> int:
     )
     results[name] = med
 
+    if clf.kmer_major.ndim == 3:
+        ks_arr = np.array([k.size for k in kmer_sets], np.int64)
+        name, med, _ = timeit(
+            "counts (gather+CSA, step-gated)",
+            lambda ki: intersection_planes_pallas(
+                ki, clf.kmer_major, max_count=k_pad,
+                interpret=clf._interpret, kcounts=ks_arr,
+            ),
+            jnp.asarray(kmer_idx),
+        )
+        results[name] = med
+
     name, med, hist = timeit(
         "histogram (planes)",
         lambda p: planes_histogram(
@@ -122,6 +134,7 @@ def main() -> int:
         planes,
     )
     results[name] = med
+    del hist  # profiler holds >10 GB of stage outputs otherwise (OOM)
 
     name, med, wire = timeit(
         "compress (lo4+overflow wire)",
@@ -132,6 +145,7 @@ def main() -> int:
         planes,
     )
     results[name] = med
+    del wire
 
     tbl = jnp.asarray(table)
     name, med, probs = timeit(
@@ -150,6 +164,7 @@ def main() -> int:
     )
     results[name] = med
     cum_hi, cum_lo = cums
+    del probs, cums
 
     name, med, confs = timeit(
         "node conf (boundary gathers+dd)",
@@ -157,13 +172,16 @@ def main() -> int:
         cum_hi, cum_lo, clf.node_starts, clf.node_ends,
     )
     results[name] = med
+    conf_hi = confs[0]
+    del cum_hi, cum_lo, confs
 
     name, med, _ = timeit(
         "threshold compaction",
         lambda c: threshold_set(c, SIG_THRESHOLD, clf._top_k),
-        confs[0],
+        conf_hi,
     )
     results[name] = med
+    del conf_hi
 
     name, med, _ = timeit(
         "significance (full fused jit)",
@@ -174,6 +192,57 @@ def main() -> int:
         planes, tbl,
     )
     results[name] = med
+
+    # ---- variant matrix: the env-gated alternates, measured on the same
+    # inputs so the defaults can be chosen from data -------------------
+    split = tuple(jnp.asarray(a) for a in db.taxonomy.split_sig_arrays())
+    for label, bm, sp in (
+        ("significance (split)", False, split),
+        ("significance (bm-scan)", True, None),
+        ("significance (split+bm-scan)", True, split),
+    ):
+        name, med, _ = timeit(
+            label,
+            lambda p, t, bm=bm, sp=sp: significant_nodes_planes(
+                p, t, clf.node_starts, clf.node_ends, top_k=clf._top_k,
+                interpret=clf._interpret, bm_scan=bm, split=sp,
+            ),
+            planes, tbl,
+        )
+        results[name] = med
+
+    # block-sparse fold viability on this workload: pair statistics only
+    # (the kernel itself is measured when the budget admits the workload)
+    if clf._blk_ptr is not None:
+        from raxtax_tpu.ops.intersect_pallas import build_pairs
+
+        blk_ptr = np.asarray(clf._blk_ptr)
+        c = (blk_ptr[kmer_idx + 1] - blk_ptr[kmer_idx]).sum(axis=1)
+        S = clf.kmer_major.shape[1]
+        budget = max(2048, k_pad * S // 24)
+        log(
+            f"sparse pairs/query: max {int(c.max())} mean {c.mean():.0f} "
+            f"(budget {budget}, blocks {S // 8})"
+        )
+        res = build_pairs(kmer_idx, blk_ptr, np.asarray(clf._blk_ids), budget)
+        if res is not None:
+            from raxtax_tpu.ops.intersect_pallas import (
+                intersection_planes_sparse,
+            )
+
+            pk, pb, mp, tot = res
+            pad = (-pk.shape[1]) % 256
+            pk = np.pad(pk, ((0, 0), (0, pad)), constant_values=0x10000)
+            pb = np.pad(pb, ((0, 0), (0, pad)))
+            name, med, _ = timeit(
+                "counts (block-sparse fold)",
+                lambda a, b: intersection_planes_sparse(
+                    a, b, clf.kmer_major, max_count=k_pad,
+                    interpret=clf._interpret, totals=tot,
+                ),
+                pk, pb,
+            )
+            results[name] = med
 
     print(json.dumps({k: round(v * 1e3, 1) for k, v in results.items()}))
     return 0

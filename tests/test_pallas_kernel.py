@@ -89,6 +89,16 @@ def test_fused_gather_planes_match_legacy(world):
         )
     )
     np.testing.assert_array_equal(fused, legacy)
+    # the per-query step gate must not change the planes: padded steps
+    # fold all-zero PAD_ROW rows, so skipping them is arithmetically inert
+    gated = np.asarray(
+        intersection_planes_pallas(
+            kmer_idx,
+            prepare_kmer_major(db, fused_gather=True),
+            kcounts=np.array([k.size for k in kmer_sets], np.int64),
+        )
+    )
+    np.testing.assert_array_equal(gated, legacy)
 
 
 def test_sparse_fold_planes_match_dense(world):
@@ -119,13 +129,13 @@ def test_sparse_fold_planes_match_dense(world):
         )
     )
     km3, blk_ptr, blk_ids = prepare_kmer_major_sparse(db)
-    pair_kmer, pair_blk, max_pairs = build_pairs(
+    pair_kmer, pair_blk, max_pairs, totals = build_pairs(
         kmer_idx, blk_ptr, blk_ids, budget=1 << 20
     )
     assert max_pairs >= 1
     sparse = np.asarray(
         intersection_planes_sparse(
-            pair_kmer, pair_blk, km3, max_count=k_pad
+            pair_kmer, pair_blk, km3, max_count=k_pad, totals=totals
         )
     )
     # compare on the dense extent; the sparse matrix may be padded wider
@@ -171,12 +181,13 @@ def test_sparse_fold_multiblock_synthetic():
     for b in range(B):
         sel = rng.choice(used, size=rng.integers(5, k_pad), replace=False)
         kmer_idx[b, : sel.size] = np.sort(sel)
-    pair_kmer, pair_blk, _ = build_pairs(
+    pair_kmer, pair_blk, _, totals = build_pairs(
         kmer_idx, blk_ptr, blk_ids, budget=1 << 20
     )
     planes = np.asarray(
         intersection_planes_sparse(
-            pair_kmer, pair_blk, km3, max_count=k_pad, block_sub=1
+            pair_kmer, pair_blk, km3, max_count=k_pad, block_sub=1,
+            totals=totals,
         )
     )
     # decode the planes back to per-tip counts
