@@ -110,27 +110,87 @@ void rx_build_ref_major(const uint8_t* flat, const int64_t* offsets,
 
 // Bit-transpose: kmer-major postings matrix [NUM_KMERS + 1, nw] u32 (zeroed
 // by caller; row 65536 stays zero as the padding row) from the ref-major
-// matrix. Bit n of row k = reference n contains kmer k. Threads partition
-// the references on 32-boundaries, so each thread touches a disjoint set of
-// output words (word s>>5 of every postings row) — no atomics needed.
+// matrix. Bit n of row k = reference n contains kmer k.
+//
+// A direct scatter (for each set bit: kmer_major[k*nw + s/32] |= bit) is
+// TLB/cache-hostile at scale: every write lands at a ~4*nw-byte stride in a
+// multi-GB destination (measured 430+ s for 1M references on one core).
+// Instead, bucket the set bits by k-mer so phase 3's writes stay inside an
+// L2/L3-sized output tile:
+//   1. count set bits per 64-kmer bucket (sequential 2-words-per-bucket
+//      popcount sweep over ref_major);
+//   2. expand set bits into a bucketed COO array of (kmer, seq) pairs
+//      (1024 sequential write streams — the active cache-line set is 64 KiB);
+//   3. per bucket, scatter the pairs into its 64-row output tile
+//      (64 * 4*nw bytes = 8 MiB at 1M refs — cache resident).
+// Threads split the sequence range in phases 1-2 (private counters) and the
+// bucket range in phase 3 (disjoint output tiles).
 void rx_build_kmer_major(const uint32_t* ref_major, int64_t n_seqs,
                          uint32_t* kmer_major, int64_t nw, int32_t nthreads) {
-    int64_t n_blocks = (n_seqs + 31) / 32;
-    parallel_for_threads(std::max(1, (int)nthreads), [&](int t) {
-        int nt = std::max(1, (int)nthreads);
-        int64_t blo = n_blocks * t / nt, bhi = n_blocks * (t + 1) / nt;
-        int64_t slo = blo * 32, shi = std::min(bhi * 32, n_seqs);
-        for (int64_t s = slo; s < shi; ++s) {
+    constexpr int BUCKET_KMERS = 64;           // 2 ref-major words per bucket
+    constexpr int N_BUCKETS = NUM_KMERS / BUCKET_KMERS;  // 1024
+    const int nt = std::max(1, (int)nthreads);
+
+    // Phase 1: per-thread per-bucket counts.
+    std::vector<int64_t> counts((size_t)nt * N_BUCKETS, 0);
+    parallel_for_threads(nt, [&](int t) {
+        int64_t lo = n_seqs * t / nt, hi = n_seqs * (t + 1) / nt;
+        int64_t* cnt = counts.data() + (size_t)t * N_BUCKETS;
+        for (int64_t s = lo; s < hi; ++s) {
             const uint32_t* row = ref_major + s * REF_WORDS;
-            uint32_t* col_word = kmer_major + (s >> 5);
-            const uint32_t bit = uint32_t(1) << (s & 31);
+            for (int b = 0; b < N_BUCKETS; ++b)
+                cnt[b] += __builtin_popcount(row[2 * b]) +
+                          __builtin_popcount(row[2 * b + 1]);
+        }
+    });
+
+    // Exclusive prefix over buckets (thread-major within a bucket keeps
+    // seq order ascending per bucket, though phase 3 does not rely on it).
+    std::vector<int64_t> bucket_base(N_BUCKETS + 1, 0);
+    for (int b = 0; b < N_BUCKETS; ++b) {
+        int64_t tot = 0;
+        for (int t = 0; t < nt; ++t) tot += counts[(size_t)t * N_BUCKETS + b];
+        bucket_base[b + 1] = bucket_base[b] + tot;
+    }
+    const int64_t nnz = bucket_base[N_BUCKETS];
+    // (kmer, seq) pair packed as (kmer << 32) | seq; seq < 2^31 by contract.
+    std::vector<uint64_t> coo((size_t)nnz);
+
+    // Phase 2: expand bits into bucketed COO slots.
+    std::vector<int64_t> cursor((size_t)nt * N_BUCKETS);
+    for (int b = 0; b < N_BUCKETS; ++b) {
+        int64_t at = bucket_base[b];
+        for (int t = 0; t < nt; ++t) {
+            cursor[(size_t)t * N_BUCKETS + b] = at;
+            at += counts[(size_t)t * N_BUCKETS + b];
+        }
+    }
+    parallel_for_threads(nt, [&](int t) {
+        int64_t lo = n_seqs * t / nt, hi = n_seqs * (t + 1) / nt;
+        int64_t* cur = cursor.data() + (size_t)t * N_BUCKETS;
+        for (int64_t s = lo; s < hi; ++s) {
+            const uint32_t* row = ref_major + s * REF_WORDS;
             for (int w = 0; w < REF_WORDS; ++w) {
                 uint32_t v = row[w];
                 while (v) {
-                    int b = __builtin_ctz(v);
+                    int bit = __builtin_ctz(v);
                     v &= v - 1;
-                    col_word[int64_t(w * 32 + b) * nw] |= bit;
+                    uint64_t k = (uint64_t)(w * 32 + bit);
+                    coo[cur[k / BUCKET_KMERS]++] = (k << 32) | (uint64_t)s;
                 }
+            }
+        }
+    });
+
+    // Phase 3: per-bucket scatter into the cache-resident output tile.
+    parallel_for_threads(nt, [&](int t) {
+        int blo = N_BUCKETS * t / nt, bhi = N_BUCKETS * (t + 1) / nt;
+        for (int b = blo; b < bhi; ++b) {
+            for (int64_t i = bucket_base[b]; i < bucket_base[b + 1]; ++i) {
+                uint64_t e = coo[i];
+                uint32_t s = (uint32_t)e;
+                kmer_major[(e >> 32) * nw + (s >> 5)] |=
+                    uint32_t(1) << (s & 31);
             }
         }
     });

@@ -22,6 +22,88 @@ DB_FORMAT_VERSION = 1
 DB_MAGIC = "raxtax-tpu-db"
 
 
+_HASH_MULT = np.uint64(0x9E3779B97F4A7C15)  # odd 64-bit mixing constant
+
+
+class ExactIndex:
+    """Hash index over the reference sequences (exact-match lookup).
+
+    TPU-first replacement for the reference's `sequences: HashMap<Vec<u8>,
+    Vec<u32>>` (src/tree.rs:50-51, 109-112): instead of a 1M-iteration
+    Python dict build on every load (seconds to tens of seconds), hash all
+    sequences with one vectorized numpy pass (<2 s at 1M refs) and answer
+    lookups by binary search + byte-wise verification.
+    """
+
+    def __init__(self, seq_flat: np.ndarray, seq_offsets: np.ndarray):
+        self._flat = np.asarray(seq_flat)
+        self._offsets = np.asarray(seq_offsets)
+        n = self._offsets.shape[0] - 1
+        hashes = self._hash_all()
+        order = np.lexsort((np.arange(n), hashes))
+        self._hashes = hashes[order]
+        self._tips = order.astype(np.int64)
+
+    def _hash_all(self) -> np.ndarray:
+        flat, offsets = self._flat, self._offsets
+        n = offsets.shape[0] - 1
+        if n == 0:
+            return np.zeros(0, dtype=np.uint64)
+        lengths = np.diff(offsets)
+        max_len = int(lengths.max(initial=0))
+        pows = np.empty(max(max_len, 1), dtype=np.uint64)
+        pows[0] = 1
+        with np.errstate(over="ignore"):
+            for i in range(1, max_len):
+                pows[i] = pows[i - 1] * _HASH_MULT
+            if flat.size == 0:
+                return lengths.astype(np.uint64)
+            # position of each byte within its own segment
+            pos = np.arange(flat.size, dtype=np.int64) - np.repeat(
+                offsets[:-1].astype(np.int64), lengths
+            )
+            terms = (flat.astype(np.uint64) + np.uint64(1)) * pows[pos]
+            # per-segment sums via reduceat would drop empty segments;
+            # use a padded wrapping cumsum instead
+            csum = np.empty(flat.size + 1, dtype=np.uint64)
+            csum[0] = 0
+            np.cumsum(terms, out=csum[1:])
+            seg = csum[offsets[1:]] - csum[offsets[:-1]]
+            return seg * _HASH_MULT + lengths.astype(np.uint64)
+
+    def _hash_one(self, seq: np.ndarray) -> np.uint64:
+        seq = np.asarray(seq, dtype=np.uint8)
+        if seq.size == 0:
+            return np.uint64(0) * _HASH_MULT + np.uint64(0)
+        with np.errstate(over="ignore"):
+            pows = np.empty(seq.size, dtype=np.uint64)
+            pows[0] = 1
+            for i in range(1, seq.size):
+                pows[i] = pows[i - 1] * _HASH_MULT
+            h = ((seq.astype(np.uint64) + np.uint64(1)) * pows).sum(
+                dtype=np.uint64
+            )
+            return h * _HASH_MULT + np.uint64(seq.size)
+
+    def get(self, encoded_query: np.ndarray) -> list[int]:
+        seq = np.asarray(encoded_query, dtype=np.uint8)
+        h = self._hash_one(seq)
+        lo = int(np.searchsorted(self._hashes, h, side="left"))
+        hi = int(np.searchsorted(self._hashes, h, side="right"))
+        out = []
+        for tip in self._tips[lo:hi]:
+            tip = int(tip)
+            s, e = int(self._offsets[tip]), int(self._offsets[tip + 1])
+            if e - s == seq.size and np.array_equal(self._flat[s:e], seq):
+                out.append(tip)
+        return out
+
+    def __eq__(self, other) -> bool:  # test convenience
+        return isinstance(other, ExactIndex) and np.array_equal(
+            self._hashes, other._hashes
+        ) and np.array_equal(self._tips, other._tips)
+
+
 @dataclass
 class Database:
     taxonomy: Taxonomy
@@ -29,7 +111,7 @@ class Database:
     kmer_major: np.ndarray  #: [65537, ceil(num_tips/32)] uint32
     seq_flat: np.ndarray  #: uint8, concatenated 4-bit-encoded sequences
     seq_offsets: np.ndarray  #: int64 [num_tips+1]
-    exact_map: dict[bytes, list[int]]  #: encoded sequence -> sorted tip ids
+    exact_map: ExactIndex  #: encoded sequence -> sorted tip ids
 
     @property
     def num_tips(self) -> int:
@@ -41,19 +123,24 @@ class Database:
     def exact_matches(self, encoded_query: np.ndarray) -> list[int]:
         """Tip ids of references whose sequence equals the query byte-wise
         (reference: src/raxtax.rs:42; empty list when absent)."""
-        return self.exact_map.get(encoded_query.tobytes(), [])
+        return self.exact_map.get(np.asarray(encoded_query, dtype=np.uint8))
 
 
-def _build_exact_map(seq_flat, seq_offsets, num_tips) -> dict[bytes, list[int]]:
-    m: dict[bytes, list[int]] = {}
-    for tip in range(num_tips):
-        key = seq_flat[seq_offsets[tip] : seq_offsets[tip + 1]].tobytes()
-        m.setdefault(key, []).append(tip)
-    return m
+def _build_exact_map(seq_flat, seq_offsets, num_tips) -> ExactIndex:
+    return ExactIndex(seq_flat, seq_offsets)
+
+
+#: refuse the numpy bit-matrix fallback above this many references unless
+#: RAXTAX_ALLOW_SLOW_BUILD=1 — the Python/numpy path costs tens of minutes
+#: at 1M refs and a silent fallback has previously eaten a whole benchmark
+#: budget (driver round 2, rc=124)
+_SLOW_BUILD_LIMIT = 200_000
 
 
 def build_database(
-    lineages: list[str], sequences: list[np.ndarray], threads: int = 0
+    lineages: list[str],
+    sequences: "list[np.ndarray] | np.ndarray",
+    threads: int = 0,
 ) -> Database:
     """Build the full database from raw (file-order) records.
 
@@ -61,35 +148,89 @@ def build_database(
     tree, exact-match map keyed by encoded sequence, packed k-mer presence.
     `threads` sizes the native bit-matrix worker pool (0 = all cores),
     mirroring -t/--threads -> rayon (src/main.rs:119-124).
+
+    `sequences` may be a list of 1-D 4-bit-encoded arrays (ragged) or one
+    `[n, L]` 2-D array for uniform-length records — the 2-D form sorts and
+    flattens with vectorized gathers instead of 1M-element Python loops.
+    Logs per-stage wall times (the reference times its DB build as a
+    first-class phase, src/tree.rs:46).
     """
-    if len(lineages) != len(sequences):
+    import logging
+    import time
+
+    log = logging.getLogger("raxtax")
+    n = len(lineages)
+    if n != len(sequences):
         raise ValueError("lineage/sequence count mismatch")
-    if len(lineages) >= 2**31:
+    if n >= 2**31:
         raise ValueError("Too many database sequences for 32-bit indices")
-    sorted_lineages, sorted_seqs = sort_records(lineages, sequences)
+
+    t0 = time.time()
+    is_2d = isinstance(sequences, np.ndarray) and sequences.ndim == 2
+    if is_2d:
+        order = sorted(range(n), key=lambda i: lineages[i].encode("utf-8"))
+        sorted_lineages = [lineages[i] for i in order]
+        seq2d = np.ascontiguousarray(
+            sequences[np.asarray(order, dtype=np.int64)], dtype=np.uint8
+        )
+        seq_flat = seq2d.reshape(-1)
+        seq_offsets = np.arange(n + 1, dtype=np.int64) * seq2d.shape[1]
+        sorted_seqs: list[np.ndarray] | None = None
+    else:
+        sorted_lineages, sorted_seqs = sort_records(lineages, list(sequences))
+        seq_offsets = np.zeros(n + 1, dtype=np.int64)
+        seq_offsets[1:] = np.cumsum([s.shape[0] for s in sorted_seqs])
+        seq_flat = (
+            np.concatenate(sorted_seqs) if n else np.empty(0, np.uint8)
+        ).astype(np.uint8)
+    t_sort = time.time()
+
     taxonomy = build_taxonomy(sorted_lineages)
-    num = len(sorted_seqs)
-    seq_offsets = np.zeros(num + 1, dtype=np.int64)
-    seq_offsets[1:] = np.cumsum([s.shape[0] for s in sorted_seqs])
-    seq_flat = (
-        np.concatenate(sorted_seqs) if num else np.empty(0, np.uint8)
-    ).astype(np.uint8)
+    t_tax = time.time()
+
     from .. import native
 
-    mats = native.build_bit_matrices(sorted_seqs, threads=threads)
+    mats = native.build_bit_matrices_flat(seq_flat, seq_offsets, threads)
     if mats is not None:
         ref_major, kmer_major = mats
     else:
+        import os
+
+        if n > _SLOW_BUILD_LIMIT and not os.environ.get(
+            "RAXTAX_ALLOW_SLOW_BUILD"
+        ):
+            raise RuntimeError(
+                f"native bit-matrix builder unavailable and the numpy "
+                f"fallback would take tens of minutes at {n} references; "
+                f"install g++ (native/rx_host.cpp auto-builds) or set "
+                f"RAXTAX_ALLOW_SLOW_BUILD=1 to proceed anyway"
+            )
+        if n > 10_000:
+            log.warning(
+                "native bit-matrix builder unavailable: numpy fallback at "
+                "%d references may take minutes", n,
+            )
+        if sorted_seqs is None:
+            sorted_seqs = list(seq2d)
         ref_ids, kmers = bitmatrix.distinct_kmers_per_ref(sorted_seqs)
-        ref_major = bitmatrix.build_ref_major(ref_ids, kmers, num)
-        kmer_major = bitmatrix.build_kmer_major(ref_ids, kmers, num)
+        ref_major = bitmatrix.build_ref_major(ref_ids, kmers, n)
+        kmer_major = bitmatrix.build_kmer_major(ref_ids, kmers, n)
+    t_bits = time.time()
+
+    exact_map = _build_exact_map(seq_flat, seq_offsets, n)
+    t_exact = time.time()
+    log.info(
+        "database build: sort+flatten %.1fs, taxonomy %.1fs, bit matrices "
+        "%.1fs, exact index %.1fs (%d refs)",
+        t_sort - t0, t_tax - t_sort, t_bits - t_tax, t_exact - t_bits, n,
+    )
     return Database(
         taxonomy=taxonomy,
         ref_major=ref_major,
         kmer_major=kmer_major,
         seq_flat=seq_flat,
         seq_offsets=seq_offsets,
-        exact_map=_build_exact_map(seq_flat, seq_offsets, num),
+        exact_map=exact_map,
     )
 
 

@@ -217,6 +217,10 @@ class DeviceClassifier:
     #: sticky high-water shape buckets (see submit_batch)
     _k_pad_hw: int = field(default=0, repr=False)
     _s_max_hw: int = field(default=0, repr=False)
+    #: distinct (k_pad, s_max) shape buckets this run actually used — one
+    #: entry per compiled kernel-set generation (tests assert a prewarmed
+    #: shuffled stream stays at 1)
+    _shape_log: set = field(default_factory=set, repr=False)
     #: run Pallas kernels in interpreter mode (non-TPU devices)
     _interpret: bool = field(default=False, repr=False)
     #: feed the dd scan bit-major probs directly (RAXTAX_BM_SCAN=1): skips
@@ -670,6 +674,18 @@ class DeviceClassifier:
             interpret=self._interpret, totals=totals,
         )
 
+    def prewarm(self, max_kmers: int) -> None:
+        """Pin the sticky shape buckets to the query stream's global max
+        BEFORE the first batch, so a mixed-length stream compiles exactly
+        one kernel set regardless of arrival order. (The reference is
+        length-insensitive for free via rayon chunking, src/raxtax.rs:36-37;
+        here a late long query would otherwise re-bucket k_pad/s_max and
+        trigger a fresh Mosaic compile mid-run.)"""
+        k_max = max(int(max_kmers), 1)
+        k_pad = _round_up(k_max, 32 if k_max <= 128 else 128)
+        self._k_pad_hw = max(self._k_pad_hw, k_pad)
+        self._s_max_hw = max(self._s_max_hw, _round_up(k_max + 1, 128))
+
     def submit_batch(self, chunk: list[tuple[str, np.ndarray]]):
         """Host prep + async device dispatch of the counts/histogram stage.
 
@@ -715,6 +731,7 @@ class DeviceClassifier:
         s_max = _round_up(max(ks) + 1, 128)
         s_max = max(s_max, self._s_max_hw)
         self._s_max_hw = s_max
+        self._shape_log.add((k_pad, s_max))
         e_pad = (
             max((len(e) for e in exact), default=0)
             if self.skip_exact_matches

@@ -137,20 +137,22 @@ def resolve_threads(threads: int = 0) -> int:
     return os.cpu_count() or 1
 
 
-def build_bit_matrices(
-    seqs: list[np.ndarray], threads: int = 0
+def build_bit_matrices_flat(
+    flat: np.ndarray, offsets: np.ndarray, threads: int = 0
 ) -> tuple[np.ndarray, np.ndarray] | None:
     """(ref_major [n,2048] u32, kmer_major [65537, ceil(n/32)] u32) via the
-    native one-pass builder, or None when the library is unavailable.
+    native one-pass builder, from pre-flattened sequences, or None when the
+    library is unavailable.
 
     `threads` sizes the native worker pool (0 = all cores) — the reference
     parallelizes its postings build the same way (src/tree.rs:134-137)."""
     lib = get_lib()
     if lib is None:
         return None
-    n = len(seqs)
+    n = offsets.shape[0] - 1
     nt = resolve_threads(threads)
-    flat, offsets = _flatten(seqs)
+    flat = np.ascontiguousarray(flat, dtype=np.uint8)
+    offsets = np.ascontiguousarray(offsets, dtype=np.int64)
     ref_major = np.zeros((max(n, 1), REF_WORDS), dtype=np.uint32)
     counts = np.zeros(max(n, 1), dtype=np.int32)
     if n:
@@ -162,6 +164,17 @@ def build_bit_matrices(
     return ref_major[:n] if n else ref_major[:0], kmer_major
 
 
+def build_bit_matrices(
+    seqs: list[np.ndarray], threads: int = 0
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """List-of-sequences convenience wrapper over
+    :func:`build_bit_matrices_flat`."""
+    if get_lib() is None:
+        return None
+    flat, offsets = _flatten(seqs)
+    return build_bit_matrices_flat(flat, offsets, threads=threads)
+
+
 def distinct_kmers(seq: np.ndarray) -> np.ndarray | None:
     """Sorted distinct 8-mers of one 4-bit sequence, or None w/o the lib."""
     lib = get_lib()
@@ -171,6 +184,23 @@ def distinct_kmers(seq: np.ndarray) -> np.ndarray | None:
     s = np.ascontiguousarray(seq, dtype=np.uint8)
     m = lib.rx_distinct_kmers(s, s.shape[0], out)
     return out[:m].copy()
+
+
+def distinct_kmer_counts(seqs: list[np.ndarray]) -> np.ndarray | None:
+    """Distinct-8-mer count of every sequence (int64 [n]), or None w/o the
+    lib. One native pass; feeds DeviceClassifier.prewarm."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(seqs)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    flat, offsets = _flatten(seqs)
+    # each input base opens at most one window
+    out = np.empty(max(flat.size, 1), dtype=np.uint16)
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    lib.rx_distinct_kmers_batch(flat, offsets, n, out, out_offsets)
+    return np.diff(out_offsets)
 
 
 def parse_fasta(

@@ -356,3 +356,32 @@ def test_under_covered_wire_replays_via_gather(family_world):
         got = dev.classify_batch(chunk)
         for (label, seq), qr in zip(chunk, got):
             assert render(qr) == render(oracle.classify(label, seq)), label
+
+
+def test_prewarm_single_kernel_set(small_world):
+    """A prewarmed shuffled-length stream uses exactly ONE (k_pad, s_max)
+    shape bucket — i.e. one compiled kernel set — and produces the same
+    bytes as the sorted stream (VERDICT r2 item 7)."""
+    db, queries = small_world
+    from raxtax_tpu import native
+
+    counts = native.distinct_kmer_counts([s for _, s in queries])
+    if counts is None:
+        counts = np.array([sequence_to_kmers(s).size for _, s in queries])
+    # shuffled: shortest queries first, longest last — the adversarial
+    # order that used to re-bucket the sticky pads mid-run
+    order = np.argsort(counts, kind="stable")
+    shuffled = [queries[i] for i in order]
+
+    dev = DeviceClassifier.create(db, backend="xla", batch_size=8)
+    dev.prewarm(int(counts.max()))
+    by_label = {}
+    for start in range(0, len(shuffled), 8):
+        for qr in dev.classify_batch(shuffled[start : start + 8]):
+            by_label[qr.label] = qr.out_string()
+    assert len(dev._shape_log) == 1, dev._shape_log
+
+    ref = DeviceClassifier.create(db, backend="xla", batch_size=8)
+    for start in range(0, len(queries), 8):
+        for qr in ref.classify_batch(queries[start : start + 8]):
+            assert by_label[qr.label] == qr.out_string(), qr.label
