@@ -229,6 +229,28 @@ void rx_distinct_kmers_batch(const uint8_t* flat, const int64_t* offsets,
     }
 }
 
+// FNV-1a 64 hash of every sequence (exact-match index; the TPU build's
+// replacement for the reference's HashMap keys, src/tree.rs:50-51). The
+// trailing length mix keeps prefix collisions apart. Threads split the
+// sequence range.
+void rx_hash_sequences(const uint8_t* flat, const int64_t* offsets,
+                       int64_t n_seqs, uint64_t* out, int32_t nthreads) {
+    parallel_for_threads(std::max(1, (int)nthreads), [&](int t) {
+        int nt = std::max(1, (int)nthreads);
+        int64_t lo = n_seqs * t / nt, hi = n_seqs * (t + 1) / nt;
+        for (int64_t s = lo; s < hi; ++s) {
+            uint64_t h = 1469598103934665603ull;  // FNV offset basis
+            for (int64_t i = offsets[s]; i < offsets[s + 1]; ++i) {
+                h ^= flat[i];
+                h *= 1099511628211ull;  // FNV prime
+            }
+            h ^= (uint64_t)(offsets[s + 1] - offsets[s]);
+            h *= 1099511628211ull;
+            out[s] = h;
+        }
+    });
+}
+
 // Query presence rows: [n_seqs, 2048] u32 (zeroed by caller), one row per
 // query sequence — the host side of pack_query_kmers.
 void rx_pack_query_rows(const uint8_t* flat, const int64_t* offsets,

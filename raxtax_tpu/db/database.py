@@ -39,7 +39,16 @@ class ExactIndex:
         self._flat = np.asarray(seq_flat)
         self._offsets = np.asarray(seq_offsets)
         n = self._offsets.shape[0] - 1
-        hashes = self._hash_all()
+        # the native FNV hasher streams the flat blob in one C pass
+        # (<0.5 s at 1M refs); the vectorized numpy path below is the
+        # no-compiler fallback. Index and per-query lookups MUST use the
+        # same implementation — record which one built the index.
+        from .. import native
+
+        hashes = native.hash_sequences(self._flat, self._offsets)
+        self._native = hashes is not None
+        if hashes is None:
+            hashes = self._hash_all()
         order = np.lexsort((np.arange(n), hashes))
         self._hashes = hashes[order]
         self._tips = order.astype(np.int64)
@@ -73,6 +82,15 @@ class ExactIndex:
 
     def _hash_one(self, seq: np.ndarray) -> np.uint64:
         seq = np.asarray(seq, dtype=np.uint8)
+        if self._native:
+            from .. import native
+
+            h = native.hash_sequences(
+                seq, np.array([0, seq.size], dtype=np.int64), threads=1
+            )
+            if h is not None:
+                return h[0]
+            # native lib vanished mid-process (never expected); fall through
         if seq.size == 0:
             return np.uint64(0) * _HASH_MULT + np.uint64(0)
         with np.errstate(over="ignore"):

@@ -30,6 +30,7 @@ _f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
 _i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
 _u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
 _u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+_u64p = np.ctypeslib.ndpointer(np.uint64, flags="C_CONTIGUOUS")
 _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 
 
@@ -75,6 +76,9 @@ def get_lib():
         lib.rx_distinct_kmers.argtypes = [_u8p, ctypes.c_int64, _u16p]
         lib.rx_distinct_kmers_batch.argtypes = [_u8p, _i64p, ctypes.c_int64, _u16p, _i64p]
         lib.rx_pack_query_rows.argtypes = [_u8p, _i64p, ctypes.c_int64, _u32p]
+        lib.rx_hash_sequences.argtypes = [
+            _u8p, _i64p, ctypes.c_int64, _u64p, ctypes.c_int32,
+        ]
         lib.rx_tip_cumsum_nibble.argtypes = [
             _u32p, _i32p, _u16p, ctypes.c_int64, _f64p, ctypes.c_int64, _f64p,
         ]
@@ -184,6 +188,24 @@ def distinct_kmers(seq: np.ndarray) -> np.ndarray | None:
     s = np.ascontiguousarray(seq, dtype=np.uint8)
     m = lib.rx_distinct_kmers(s, s.shape[0], out)
     return out[:m].copy()
+
+
+def hash_sequences(
+    flat: np.ndarray, offsets: np.ndarray, threads: int = 0
+) -> np.ndarray | None:
+    """u64 FNV-1a hash of every segment, or None w/o the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = offsets.shape[0] - 1
+    out = np.empty(max(n, 1), dtype=np.uint64)
+    if n:
+        lib.rx_hash_sequences(
+            np.ascontiguousarray(flat, np.uint8),
+            np.ascontiguousarray(offsets, np.int64),
+            n, out, resolve_threads(threads),
+        )
+    return out[:n]
 
 
 def distinct_kmer_counts(seqs: list[np.ndarray]) -> np.ndarray | None:

@@ -43,5 +43,10 @@ def pytest_collection_modifyitems(config, items):
         heavy = (
             Path(str(item.fspath)).name in _HEAVY_FILES
             or item.get_closest_marker("slow") is not None
+            or item.get_closest_marker("heavy") is not None
         )
-        item.add_marker(pytest.mark.heavy if heavy else pytest.mark.fast)
+        if heavy:
+            if item.get_closest_marker("heavy") is None:
+                item.add_marker(pytest.mark.heavy)
+        else:
+            item.add_marker(pytest.mark.fast)
