@@ -75,13 +75,19 @@ def remaining() -> float:
     return BUDGET - (time.time() - T_START)
 
 
-def synth_records(n_refs: int, seed: int = 42):
+def synth_fam(seed: int = 42):
+    """The family consensus sequences (cheap; queries derive from these)."""
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 4, size=(N_FAMILIES, SEQ_LEN), dtype=np.int8), rng
+
+
+def synth_records(n_refs: int, fam: np.ndarray, rng):
     """Deterministic COI-like records: family consensus + point mutations.
 
     Fully vectorized — sequences come back as ONE [n_refs, SEQ_LEN] 4-bit
-    array (the build_database 2-D fast path), lineages as strings."""
-    rng = np.random.default_rng(seed)
-    fam = rng.integers(0, 4, size=(N_FAMILIES, SEQ_LEN), dtype=np.int8)
+    array (the build_database 2-D fast path), lineages as strings. Only
+    called on a cache miss: even vectorized, 1M lineage strings + mutation
+    draws cost tens of seconds of fresh-memory faults on this host."""
     g_mod = n_refs // 8 or 1
     lineages = [
         f"p:P{i % 4},c:C{i % 16},o:O{i % 64},f:F{i % N_FAMILIES},"
@@ -92,7 +98,7 @@ def synth_records(n_refs: int, seed: int = 42):
     pos = rng.integers(0, SEQ_LEN, size=(n_refs, 30))
     sub = rng.integers(0, 4, size=(n_refs, 30), dtype=np.uint8)
     np.put_along_axis(seqs, pos, sub, axis=1)
-    return fam, lineages, _ENC[seqs]
+    return lineages, _ENC[seqs]
 
 
 def synth_queries(fam: np.ndarray, n: int, seed: int = 7):
@@ -105,14 +111,21 @@ def synth_queries(fam: np.ndarray, n: int, seed: int = 7):
     return [(f"q{i}", enc[i]) for i in range(n)]
 
 
-def get_database(n_refs: int, lineages, seqs):
+def get_database(n_refs: int, fam: np.ndarray, rng):
     from raxtax_tpu.db.database import (
         build_database,
         load_database,
         save_database,
     )
 
-    cache = Path(f"/tmp/raxtax_bench_db_{n_refs}_v2.rxdb")
+    # the pallas/stream/oracle paths never read the 8-GB-at-1M ref-major
+    # matrix; skipping it halves the build's fresh-memory footprint (page
+    # faults dominate on this host: fresh memory provisions at tens of
+    # MB/s). The xla backend gets its own cache file with the matrix.
+    with_ref = BACKEND == "xla"
+    cache = Path(
+        f"/tmp/raxtax_bench_db_{n_refs}_v2{'' if with_ref else '_km'}.rxdb"
+    )
     if cache.is_file():
         try:
             t0 = time.time()
@@ -122,11 +135,18 @@ def get_database(n_refs: int, lineages, seqs):
         except Exception as e:  # stale/corrupt cache
             log(f"cache load failed ({e}); rebuilding")
     t0 = time.time()
-    db = build_database(lineages, seqs)
+    lineages, seqs = synth_records(n_refs, fam, rng)
+    log(f"synthesized {n_refs} records in {time.time() - t0:.1f}s")
+    t0 = time.time()
+    db = build_database(lineages, seqs, with_ref_major=with_ref)
     log(f"built {n_refs}-ref DB in {time.time() - t0:.1f}s")
-    # ~1 GB/min to write at 1M refs; only cache when it cannot bust the
+    # only cache when the write (~100 MB/s conservative) cannot bust the
     # budget, and write atomically so a killed run can't poison the next
-    est_save = db.ref_major.nbytes * 2.2e-9 + 5
+    est_save = 5 + 1e-8 * (
+        db.kmer_major.nbytes
+        + db.seq_flat.nbytes
+        + (db.ref_major.nbytes if db.ref_major is not None else 0)
+    )
     if remaining() > est_save + 60:
         t0 = time.time()
         tmp = cache.with_suffix(f".tmp.{os.getpid()}")
@@ -208,11 +228,8 @@ def measure_oracle(db, queries, n_oracle: int) -> float:
 def run_config(n_refs: int) -> bool:
     """One configuration end-to-end; prints its JSON line on success."""
     log(f"=== config: {n_refs} references ===")
-    t0 = time.time()
-    fam, lineages, seqs = synth_records(n_refs)
-    log(f"synthesized records in {time.time() - t0:.1f}s")
-    db = get_database(n_refs, lineages, seqs)
-    del lineages, seqs
+    fam, rng = synth_fam()
+    db = get_database(n_refs, fam, rng)
     queries = synth_queries(fam, N_QUERIES)
     qps = measure_tpu(db, queries)
     n_oracle = int(
@@ -240,7 +257,10 @@ def main() -> int:
     for i, n_refs in enumerate(CONFIGS):
         # conservative phase estimate: cold build+save+compile+measure;
         # cut over to "cached DB exists" cheap estimate when it does
-        cached = Path(f"/tmp/raxtax_bench_db_{n_refs}_v2.rxdb").is_file()
+        suffix = "" if BACKEND == "xla" else "_km"
+        cached = Path(
+            f"/tmp/raxtax_bench_db_{n_refs}_v2{suffix}.rxdb"
+        ).is_file()
         est = (90 if cached else 60 + n_refs * 3.2e-4) + 240
         if done and remaining() < est:
             log(

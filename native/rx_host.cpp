@@ -108,92 +108,96 @@ void rx_build_ref_major(const uint8_t* flat, const int64_t* offsets,
     });
 }
 
-// Bit-transpose: kmer-major postings matrix [NUM_KMERS + 1, nw] u32 (zeroed
-// by caller; row 65536 stays zero as the padding row) from the ref-major
-// matrix. Bit n of row k = reference n contains kmer k.
+// Bit-transpose machinery for the kmer-major postings matrix
+// [NUM_KMERS + 1, nw] u32 (zeroed by caller; row 65536 stays zero as the
+// padding row). Bit n of row k = reference n contains kmer k.
 //
 // A direct scatter (for each set bit: kmer_major[k*nw + s/32] |= bit) is
 // TLB/cache-hostile at scale: every write lands at a ~4*nw-byte stride in a
 // multi-GB destination (measured 430+ s for 1M references on one core).
-// Instead, bucket the set bits by k-mer so phase 3's writes stay inside an
-// L2/L3-sized output tile:
-//   1. count set bits per 64-kmer bucket (sequential 2-words-per-bucket
-//      popcount sweep over ref_major);
-//   2. expand set bits into a bucketed COO array of (kmer, seq) pairs
-//      (1024 sequential write streams — the active cache-line set is 64 KiB);
-//   3. per bucket, scatter the pairs into its 64-row output tile
-//      (64 * 4*nw bytes = 8 MiB at 1M refs — cache resident).
-// Threads split the sequence range in phases 1-2 (private counters) and the
-// bucket range in phase 3 (disjoint output tiles).
-void rx_build_kmer_major(const uint32_t* ref_major, int64_t n_seqs,
-                         uint32_t* kmer_major, int64_t nw, int32_t nthreads) {
-    constexpr int BUCKET_KMERS = 64;           // 2 ref-major words per bucket
-    constexpr int N_BUCKETS = NUM_KMERS / BUCKET_KMERS;  // 1024
-    const int nt = std::max(1, (int)nthreads);
+// And on this class of VM, FRESH memory is brutally expensive (host-side
+// provisioning at tens of MB/s), so big one-shot COO side arrays cost more
+// in page faults than their scatter saves. Hence: process references in
+// CHUNKS, appending each chunk's set bits into 1024 reusable per-bucket
+// vectors ((kmer << 32) | seq entries; vectors keep their capacity across
+// chunks, so the fault cost is paid once for ~400 MB), then scatter each
+// bucket into its 64-row output tile (64 * 4*nw bytes = 8 MiB at 1M refs —
+// cache resident). Threads split the bucket range in the scatter (disjoint
+// output tiles).
 
-    // Phase 1: per-thread per-bucket counts.
-    std::vector<int64_t> counts((size_t)nt * N_BUCKETS, 0);
-    parallel_for_threads(nt, [&](int t) {
-        int64_t lo = n_seqs * t / nt, hi = n_seqs * (t + 1) / nt;
-        int64_t* cnt = counts.data() + (size_t)t * N_BUCKETS;
-        for (int64_t s = lo; s < hi; ++s) {
-            const uint32_t* row = ref_major + s * REF_WORDS;
-            for (int b = 0; b < N_BUCKETS; ++b)
-                cnt[b] += __builtin_popcount(row[2 * b]) +
-                          __builtin_popcount(row[2 * b + 1]);
-        }
-    });
+namespace {
 
-    // Exclusive prefix over buckets (thread-major within a bucket keeps
-    // seq order ascending per bucket, though phase 3 does not rely on it).
-    std::vector<int64_t> bucket_base(N_BUCKETS + 1, 0);
-    for (int b = 0; b < N_BUCKETS; ++b) {
-        int64_t tot = 0;
-        for (int t = 0; t < nt; ++t) tot += counts[(size_t)t * N_BUCKETS + b];
-        bucket_base[b + 1] = bucket_base[b] + tot;
-    }
-    const int64_t nnz = bucket_base[N_BUCKETS];
-    // (kmer, seq) pair packed as (kmer << 32) | seq; seq < 2^31 by contract.
-    std::vector<uint64_t> coo((size_t)nnz);
+constexpr int BUCKET_KMERS = 64;
+constexpr int N_BUCKETS = NUM_KMERS / BUCKET_KMERS;  // 1024
+constexpr int64_t TRANSPOSE_CHUNK = 131072;
 
-    // Phase 2: expand bits into bucketed COO slots.
-    std::vector<int64_t> cursor((size_t)nt * N_BUCKETS);
-    for (int b = 0; b < N_BUCKETS; ++b) {
-        int64_t at = bucket_base[b];
-        for (int t = 0; t < nt; ++t) {
-            cursor[(size_t)t * N_BUCKETS + b] = at;
-            at += counts[(size_t)t * N_BUCKETS + b];
+// Append every set bit of `row` (one reference's presence bitmap) as
+// (kmer << 32) | s into its k-mer bucket.
+inline void bucket_row_bits(const uint32_t* row, int64_t s,
+                            std::vector<uint64_t>* buckets) {
+    for (int w = 0; w < REF_WORDS; ++w) {
+        uint32_t v = row[w];
+        while (v) {
+            int bit = __builtin_ctz(v);
+            v &= v - 1;
+            uint64_t k = (uint64_t)(w * 32 + bit);
+            buckets[k / BUCKET_KMERS].push_back((k << 32) | (uint64_t)s);
         }
     }
-    parallel_for_threads(nt, [&](int t) {
-        int64_t lo = n_seqs * t / nt, hi = n_seqs * (t + 1) / nt;
-        int64_t* cur = cursor.data() + (size_t)t * N_BUCKETS;
-        for (int64_t s = lo; s < hi; ++s) {
-            const uint32_t* row = ref_major + s * REF_WORDS;
-            for (int w = 0; w < REF_WORDS; ++w) {
-                uint32_t v = row[w];
-                while (v) {
-                    int bit = __builtin_ctz(v);
-                    v &= v - 1;
-                    uint64_t k = (uint64_t)(w * 32 + bit);
-                    coo[cur[k / BUCKET_KMERS]++] = (k << 32) | (uint64_t)s;
-                }
-            }
-        }
-    });
+}
 
-    // Phase 3: per-bucket scatter into the cache-resident output tile.
+// Scatter the bucketed entries of one chunk into the output matrix;
+// threads own disjoint bucket ranges (disjoint output rows).
+inline void scatter_buckets(std::vector<uint64_t>* buckets,
+                            uint32_t* kmer_major, int64_t nw, int nt) {
     parallel_for_threads(nt, [&](int t) {
         int blo = N_BUCKETS * t / nt, bhi = N_BUCKETS * (t + 1) / nt;
         for (int b = blo; b < bhi; ++b) {
-            for (int64_t i = bucket_base[b]; i < bucket_base[b + 1]; ++i) {
-                uint64_t e = coo[i];
+            for (uint64_t e : buckets[b]) {
                 uint32_t s = (uint32_t)e;
                 kmer_major[(e >> 32) * nw + (s >> 5)] |=
                     uint32_t(1) << (s & 31);
             }
+            buckets[b].clear();
         }
     });
+}
+
+}  // namespace
+
+void rx_build_kmer_major(const uint32_t* ref_major, int64_t n_seqs,
+                         uint32_t* kmer_major, int64_t nw, int32_t nthreads) {
+    const int nt = std::max(1, (int)nthreads);
+    std::vector<std::vector<uint64_t>> buckets(N_BUCKETS);
+    for (int64_t base = 0; base < n_seqs; base += TRANSPOSE_CHUNK) {
+        int64_t hi = std::min(base + TRANSPOSE_CHUNK, n_seqs);
+        for (int64_t s = base; s < hi; ++s)
+            bucket_row_bits(ref_major + s * REF_WORDS, s, buckets.data());
+        scatter_buckets(buckets.data(), kmer_major, nw, nt);
+    }
+}
+
+// Direct variant: builds the postings matrix straight from the encoded
+// sequences without materializing the 8 GB ref-major intermediate (the
+// Pallas/stream backends and the host oracle never read ref-major, so a
+// 1M-reference database build touches ~9 GB of fresh memory instead of
+// ~20 GB). Each sequence's presence bitmap lives in a reused 8 KiB buffer.
+void rx_build_kmer_major_direct(const uint8_t* flat, const int64_t* offsets,
+                                int64_t n_seqs, uint32_t* kmer_major,
+                                int64_t nw, int32_t nthreads) {
+    const int nt = std::max(1, (int)nthreads);
+    std::vector<std::vector<uint64_t>> buckets(N_BUCKETS);
+    std::vector<uint32_t> row(REF_WORDS);
+    for (int64_t base = 0; base < n_seqs; base += TRANSPOSE_CHUNK) {
+        int64_t hi = std::min(base + TRANSPOSE_CHUNK, n_seqs);
+        for (int64_t s = base; s < hi; ++s) {
+            memset(row.data(), 0, REF_WORDS * sizeof(uint32_t));
+            fill_presence_row(flat + offsets[s], offsets[s + 1] - offsets[s],
+                              row.data());
+            bucket_row_bits(row.data(), s, buckets.data());
+        }
+        scatter_buckets(buckets.data(), kmer_major, nw, nt);
+    }
 }
 
 // Sorted distinct 8-mers of one sequence (bitmap scan => sorted for free).

@@ -125,7 +125,9 @@ class ExactIndex:
 @dataclass
 class Database:
     taxonomy: Taxonomy
-    ref_major: np.ndarray  #: [num_tips, 2048] uint32
+    #: [num_tips, 2048] uint32, or None when built with
+    #: with_ref_major=False (pallas/stream/oracle paths never read it)
+    ref_major: np.ndarray | None
     kmer_major: np.ndarray  #: [65537, ceil(num_tips/32)] uint32
     seq_flat: np.ndarray  #: uint8, concatenated 4-bit-encoded sequences
     seq_offsets: np.ndarray  #: int64 [num_tips+1]
@@ -159,6 +161,7 @@ def build_database(
     lineages: list[str],
     sequences: "list[np.ndarray] | np.ndarray",
     threads: int = 0,
+    with_ref_major: bool = True,
 ) -> Database:
     """Build the full database from raw (file-order) records.
 
@@ -208,7 +211,9 @@ def build_database(
 
     from .. import native
 
-    mats = native.build_bit_matrices_flat(seq_flat, seq_offsets, threads)
+    mats = native.build_bit_matrices_flat(
+        seq_flat, seq_offsets, threads, with_ref_major=with_ref_major
+    )
     if mats is not None:
         ref_major, kmer_major = mats
     else:
@@ -287,8 +292,9 @@ def save_database(db: Database, path: str | Path) -> None:
         "seq_offsets": db.seq_offsets,
         "seq_flat": db.seq_flat,
         "kmer_major": db.kmer_major,
-        "ref_major": db.ref_major,
     }
+    if db.ref_major is not None:
+        arrays["ref_major"] = db.ref_major
     entries = {}
     # header is padded to one page; arrays start page-aligned after it
     offset = _RXDB_ALIGN
@@ -364,7 +370,11 @@ def _load_database_v2(path: str | Path) -> Database:
     seq_offsets = arr("seq_offsets", mmap=False)
     return Database(
         taxonomy=taxonomy,
-        ref_major=arr("ref_major"),  # lazy: pallas runs never read it
+        # lazy mmap: pallas runs never fault it in; absent when the DB was
+        # built with with_ref_major=False
+        ref_major=(
+            arr("ref_major") if "ref_major" in meta["arrays"] else None
+        ),
         kmer_major=arr("kmer_major"),
         seq_flat=seq_flat,
         seq_offsets=seq_offsets,

@@ -305,6 +305,13 @@ class DeviceClassifier:
             d = mesh.shape["data"]
             self.batch_size = _round_up(self.batch_size, d)
         elif backend == "xla":
+            if db.ref_major is None:
+                raise RuntimeError(
+                    "xla backend needs the ref-major matrix, but this "
+                    "database was built with with_ref_major=False "
+                    "(pallas/stream only); rebuild the database or pick "
+                    "--backend pallas"
+                )
             self.ref_bits = jnp.asarray(db.ref_major)
         self.node_starts = jnp.asarray(tax.range_start[eval_ids])
         self.node_ends = jnp.asarray(tax.range_end[eval_ids])

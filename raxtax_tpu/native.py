@@ -72,6 +72,10 @@ def get_lib():
         lib.rx_build_kmer_major.argtypes = [
             _u32p, ctypes.c_int64, _u32p, ctypes.c_int64, ctypes.c_int32,
         ]
+        lib.rx_build_kmer_major_direct.argtypes = [
+            _u8p, _i64p, ctypes.c_int64, _u32p, ctypes.c_int64,
+            ctypes.c_int32,
+        ]
         lib.rx_distinct_kmers.restype = ctypes.c_int64
         lib.rx_distinct_kmers.argtypes = [_u8p, ctypes.c_int64, _u16p]
         lib.rx_distinct_kmers_batch.argtypes = [_u8p, _i64p, ctypes.c_int64, _u16p, _i64p]
@@ -142,11 +146,17 @@ def resolve_threads(threads: int = 0) -> int:
 
 
 def build_bit_matrices_flat(
-    flat: np.ndarray, offsets: np.ndarray, threads: int = 0
-) -> tuple[np.ndarray, np.ndarray] | None:
-    """(ref_major [n,2048] u32, kmer_major [65537, ceil(n/32)] u32) via the
-    native one-pass builder, from pre-flattened sequences, or None when the
-    library is unavailable.
+    flat: np.ndarray, offsets: np.ndarray, threads: int = 0,
+    with_ref_major: bool = True,
+) -> tuple[np.ndarray | None, np.ndarray] | None:
+    """(ref_major [n,2048] u32 or None, kmer_major [65537, ceil(n/32)] u32)
+    via the native one-pass builder, from pre-flattened sequences, or None
+    when the library is unavailable.
+
+    `with_ref_major=False` skips the ref-major matrix entirely (the
+    Pallas/stream backends and the host oracle never read it) — at 1M refs
+    that halves the build's fresh-memory footprint, which dominates build
+    time on hosts with slow page-fault provisioning.
 
     `threads` sizes the native worker pool (0 = all cores) — the reference
     parallelizes its postings build the same way (src/tree.rs:134-137)."""
@@ -157,13 +167,16 @@ def build_bit_matrices_flat(
     nt = resolve_threads(threads)
     flat = np.ascontiguousarray(flat, dtype=np.uint8)
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
+    nw = max(1, -(-n // 32))
+    kmer_major = np.zeros((NUM_KMERS + 1, nw), dtype=np.uint32)
+    if not with_ref_major:
+        if n:
+            lib.rx_build_kmer_major_direct(flat, offsets, n, kmer_major, nw, nt)
+        return None, kmer_major
     ref_major = np.zeros((max(n, 1), REF_WORDS), dtype=np.uint32)
     counts = np.zeros(max(n, 1), dtype=np.int32)
     if n:
         lib.rx_build_ref_major(flat, offsets, n, ref_major, counts, nt)
-    nw = max(1, -(-n // 32))
-    kmer_major = np.zeros((NUM_KMERS + 1, nw), dtype=np.uint32)
-    if n:
         lib.rx_build_kmer_major(ref_major, n, kmer_major, nw, nt)
     return ref_major[:n] if n else ref_major[:0], kmer_major
 

@@ -17,6 +17,7 @@ from the single-device path.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -147,7 +148,11 @@ def pad_to_multiple(arr: np.ndarray, m: int, axis: int = 0) -> np.ndarray:
     n = arr.shape[axis]
     pad = (-n) % m
     if pad == 0:
-        return arr
+        # base-class view: a cache-loaded DB hands us np.memmap arrays, and
+        # jax.device_put to a cross-process sharding rejects ndarray
+        # SUBCLASSES with "must represent addressable devices" (seen on
+        # global-mesh resume, where the binary DB cache exists)
+        return arr.view(np.ndarray) if type(arr) is not np.ndarray else arr
     widths = [(0, 0)] * arr.ndim
     widths[axis] = (0, pad)
     return np.pad(arr, widths)
@@ -215,17 +220,38 @@ class ShardedPipeline:
             )
             n_padded = km.shape[1] * 32
         else:
+            if db.ref_major is None:
+                raise RuntimeError(
+                    "xla backend needs the ref-major matrix, but this "
+                    "database was built with with_ref_major=False "
+                    "(pallas/stream only); rebuild the database or pick "
+                    "--backend pallas"
+                )
             ref = pad_to_multiple(db.ref_major, model, axis=0)
             ref_bits = jax.device_put(
                 ref, NamedSharding(mesh, P("model", None))
             )
             n_padded = ref.shape[0]
+        # Optional per-shard memory budget (bytes): databases bigger than
+        # one device's HBM MUST shard over the model axis (BASELINE config
+        # 5 — e.g. a 5M-ref postings matrix at ~41 GB vs 16 GB/chip). The
+        # guard turns a would-be device OOM into an actionable error.
+        budget = int(os.environ.get("RAXTAX_SHARD_HBM_BUDGET", "0") or 0)
+        if budget:
+            resident = (
+                kmer_bits.nbytes if kmer_bits is not None else ref_bits.nbytes
+            )
+            per_shard = resident // model
+            if per_shard > budget:
+                raise RuntimeError(
+                    f"database shard of {per_shard} bytes exceeds the "
+                    f"per-device budget RAXTAX_SHARD_HBM_BUDGET={budget}; "
+                    f"increase the model axis (currently {model})"
+                )
         repl = NamedSharding(mesh, P())
         eval_ids = tax.eval_ids
         ptr, ids, is_inner, pad_node = descent_arrays(tax)
         split = None
-        import os
-
         if os.environ.get("RAXTAX_SPLIT_SIG", "") not in ("", "0"):
             i_s, i_e, i_p, tab = tax.split_sig_arrays()
             tab_p = np.full(n_padded, -1, dtype=np.int32)
