@@ -269,12 +269,29 @@ def main() -> int:
             )
             break
         try:
+            if done:
+                # a banked JSON line must survive anything the next config
+                # does — including a wedged remote kernel compile that no
+                # Python-level check can preempt. SIGALRM caps the phase at
+                # the remaining budget.
+                import signal
+
+                def _alarm(signum, frame):
+                    raise TimeoutError("config wall-clock budget exhausted")
+
+                signal.signal(signal.SIGALRM, _alarm)
+                signal.alarm(max(60, int(remaining() - 30)))
             done += run_config(n_refs)
         except Exception as e:
             log(f"config {n_refs} failed: {type(e).__name__}: {e}")
             if done:
                 break
             raise
+        finally:
+            if done:
+                import signal
+
+                signal.alarm(0)
     return 0 if done else 1
 
 

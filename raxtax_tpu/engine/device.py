@@ -666,6 +666,18 @@ class DeviceClassifier:
             self._pairs_hw,
             max(256, 1 << (max(max_pairs, 1) - 1).bit_length()),
         )
+        # SMEM budget: the pair id arrays ride the scalar-prefetch path
+        # (2 s32 words per pair per query) and TPU SMEM is 1 MiB — an
+        # oversized pair list is a COMPILE error ("Ran out of memory in
+        # memory space smem"), so flip to the dense fused fold instead
+        if 2 * 4 * self.batch_size * p_pad > (3 << 18):  # > 768 KiB
+            self._sparse = False
+            log.info(
+                "sparse fold pair list (%d pairs x %d queries) exceeds the"
+                " SMEM prefetch budget: switching to the dense fused fold",
+                p_pad, self.batch_size,
+            )
+            return None
         self._pairs_hw = p_pad
         if pair_kmer.shape[1] < p_pad:
             pad = p_pad - pair_kmer.shape[1]

@@ -94,8 +94,9 @@ def main() -> int:
     if lib is None:
         log("native library unavailable; cannot measure")
         return 1
-    fam, lineages, seqs = bench.synth_records(bench.N_REFS)
-    db = bench.get_database(lineages, seqs)
+    n_refs = bench.CONFIGS[-1]
+    fam, rng = bench.synth_fam()
+    db = bench.get_database(n_refs, fam, rng)
     queries = bench.synth_queries(fam, max(N_TIMED, 16))
     postings, offsets = build_csr(db)
 
@@ -134,7 +135,7 @@ def main() -> int:
     med_hot = t_hot[len(t_hot) // 2]
     med_full = t_full[len(t_full) // 2]
     out = {
-        "n_refs": bench.N_REFS,
+        "n_refs": n_refs,
         "postings_entries": int(offsets[-1]),
         "hot_loop_ms": round(med_hot * 1e3, 3),
         "hot_loop_qps_1core": round(1.0 / med_hot, 1),

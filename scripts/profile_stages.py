@@ -60,8 +60,9 @@ def main() -> int:
     from raxtax_tpu.utils.jaxcfg import setup_jax
 
     setup_jax()
-    fam, lineages, seqs = bench.synth_records(bench.N_REFS)
-    db = bench.get_database(lineages, seqs)
+    n_refs = bench.CONFIGS[-1]
+    fam, rng = bench.synth_fam()
+    db = bench.get_database(n_refs, fam, rng)
     queries = bench.synth_queries(fam, 256)
     clf = DeviceClassifier.create(
         db, backend="pallas", batch_size=bench.BATCH or None
