@@ -148,15 +148,24 @@ def get_database(n_refs: int, fam: np.ndarray, rng):
         + (db.ref_major.nbytes if db.ref_major is not None else 0)
     )
     if remaining() > est_save + 60:
-        t0 = time.time()
+        # overlap the multi-GB disk write with the classify phase's device
+        # transfers and kernel compiles (~100 s of pure IO at 1M refs that
+        # the driver's cold run otherwise pays serially); the tmp+rename
+        # stays atomic, so dying mid-write can't poison the next run
+        import threading
+
         tmp = cache.with_suffix(f".tmp.{os.getpid()}")
-        try:
-            save_database(db, tmp)
-            os.replace(tmp, cache)
-            log(f"cached DB in {time.time() - t0:.1f}s: {cache}")
-        except OSError as e:
-            log(f"could not cache DB: {e}")
-            tmp.unlink(missing_ok=True)
+
+        def _save(t0=time.time()):
+            try:
+                save_database(db, tmp)
+                os.replace(tmp, cache)
+                log(f"cached DB in {time.time() - t0:.1f}s: {cache}")
+            except OSError as e:
+                log(f"could not cache DB: {e}")
+                tmp.unlink(missing_ok=True)
+
+        threading.Thread(target=_save, daemon=True).start()
     else:
         log(f"skipping DB cache write (est {est_save:.0f}s > budget)")
     return db

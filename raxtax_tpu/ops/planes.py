@@ -331,7 +331,11 @@ def dd_cumsum_pallas(probs: jax.Array, interpret: bool = False):
     assert N % 128 == 0
     nr = N // 128
     x = probs.reshape(B, nr, 128)
-    rows = min(nr, 256)
+    # 1024-row tiles: the scan is DMA-issue bound, not VMEM bound — at 256
+    # rows a 1M x 128 batch was 3,968 grid steps of ~9 us mostly spent
+    # issuing three small copies (37 ms); 4x larger tiles amortize the
+    # issue cost (~13 ms) and still use < 4 MB of VMEM double-buffered
+    rows = min(nr, 1024)
     n_t = pl.cdiv(nr, rows)
     hi, lo = pl.pallas_call(
         _dd_scan_kernel(nr, rows),
@@ -385,6 +389,10 @@ def dd_cumsum_pallas_bitmajor(
     assert nbits == 32 and lanes == 128
     N = S * lanes * nbits
     nr = N // 128  # = S * 32
+    # 256 rows: the in-VMEM (32, rows//32, 128) -> (rows, 128) reorder
+    # lowers to a tpu.reshape that Mosaic only supports up to 8 sublane
+    # groups — (32, 32, 128) -> (1024, 128) is an "unsupported shape cast"
+    # compile error on real hardware (not caught in interpret mode)
     rows = min(nr, 256)
     assert rows % 32 == 0
     n_t = pl.cdiv(nr, rows)

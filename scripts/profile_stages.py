@@ -158,6 +158,23 @@ def main() -> int:
     )
     results[name] = med
 
+    # the engine's sticky dense-count mode (count>15 overflow beyond
+    # budget) runs the FULL-WIDTH mux — 2^P-1 selects per word-bit
+    for mb in (5, 6, None):
+        n_planes = int(planes.shape[1])
+        if mb is not None and mb >= n_planes:
+            continue
+        lbl = f"probs (mux_bits={mb if mb is not None else n_planes})"
+        name, med, fw = timeit(
+            lbl,
+            lambda p, t, mb=mb: planes_probs(
+                p, t, mux_bits=mb, interpret=clf._interpret
+            ),
+            planes, tbl,
+        )
+        results[name] = med
+        del fw
+
     name, med, cums = timeit(
         "dd cumsum",
         lambda pr: tip_prob_cumsum_dd(pr, interpret=clf._interpret),
@@ -167,24 +184,19 @@ def main() -> int:
     cum_hi, cum_lo = cums
     del probs, cums
 
-    name, med, confs = timeit(
-        "node conf (boundary gathers+dd)",
-        node_conf_dd,
-        cum_hi, cum_lo, clf.node_starts, clf.node_ends,
-    )
-    results[name] = med
-    conf_hi = confs[0]
-    del cum_hi, cum_lo, confs
+    # free the 1.6 GB plane set + cumsum before the fused variants: the
+    # standalone [B, J] node-conf decomposition keeps four gather
+    # temporaries live OUTSIDE a jit and OOMs a 16 GB chip at 1M refs —
+    # the fused significance timings below cover those stages with XLA
+    # managing liveness (their cost = fused total - probs - cumsum)
+    del planes, cum_hi, cum_lo
 
-    name, med, _ = timeit(
-        "threshold compaction",
-        lambda c: threshold_set(c, SIG_THRESHOLD, clf._top_k),
-        conf_hi,
+    planes = intersection_planes_pallas(
+        jnp.asarray(kmer_idx), clf.kmer_major, max_count=k_pad,
+        interpret=clf._interpret,
     )
-    results[name] = med
-    del conf_hi
 
-    name, med, _ = timeit(
+    name, med, sig = timeit(
         "significance (full fused jit)",
         lambda p, t: significant_nodes_planes(
             p, t, clf.node_starts, clf.node_ends, top_k=clf._top_k,
@@ -193,14 +205,17 @@ def main() -> int:
         planes, tbl,
     )
     results[name] = med
+    del sig
 
     # ---- variant matrix: the env-gated alternates, measured on the same
     # inputs so the defaults can be chosen from data -------------------
+    # NOTE: the bm-scan variants are omitted — their in-VMEM
+    # (32, rows//32, 128) -> (rows, 128) reorder is an unsupported
+    # tpu.reshape on the current Mosaic toolchain (hardware compile error
+    # at every tile size; interpret mode can't catch it)
     split = tuple(jnp.asarray(a) for a in db.taxonomy.split_sig_arrays())
     for label, bm, sp in (
         ("significance (split)", False, split),
-        ("significance (bm-scan)", True, None),
-        ("significance (split+bm-scan)", True, split),
     ):
         name, med, _ = timeit(
             label,
