@@ -730,7 +730,15 @@ class DeviceClassifier:
         kmer_sets += [np.empty(0, np.uint16)] * (B - n_real)
         exact = [self.db.exact_matches(s) for s in seqs]
 
-        query_bits = pack_query_kmers(kmer_sets)
+        # the packed [B, 65536]-bit query matrix feeds ONLY the xla
+        # bit-matmul backend; packing costs ~66 ms per 256-query batch on
+        # this host — skip it when the planes backends are active
+        need_bits = (
+            self.pipeline.backend == "xla"
+            if self.pipeline is not None
+            else not self._planes_mode
+        )
+        query_bits = pack_query_kmers(kmer_sets) if need_bits else None
         # Sticky high-water shape buckets: mixed-length query streams would
         # otherwise recompile the whole kernel set on every batch whose max
         # k-mer count shifts buckets (on this platform a fresh Mosaic shape
