@@ -47,19 +47,28 @@ def sample_split(
 
 
 def run_with_memory_poll(
-    cmd: list[str], poll_hz: float = 10.0
+    cmd: list[str], poll_hz: float = 10.0, phases: dict | None = None
 ) -> tuple[float, float, int]:
     """Run `cmd`; returns (runtime_s, peak_rss_mb, returncode)
-    (reference: scripts/common.py:43-65)."""
+    (reference: scripts/common.py:43-65).
+
+    When `phases` is given, the child's stderr is captured and its
+    `phase_timer` lines ("NAME took X ms", utils/logging.py:77) are parsed
+    into it — this is how the sweep separates steady-state classification
+    time from DB build + kernel compile, which the reference protocol lumps
+    into one wall-clock number."""
     import os
+    import re
+    import tempfile
 
     env = dict(os.environ)
     repo = str(Path(__file__).resolve().parent.parent)
     env["PYTHONPATH"] = repo + (
         ":" + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
     )
+    errf = tempfile.TemporaryFile() if phases is not None else None
     t0 = time.time()
-    proc = subprocess.Popen(cmd, env=env)
+    proc = subprocess.Popen(cmd, env=env, stderr=errf)
     ps = psutil.Process(proc.pid)
     peak = 0
     while proc.poll() is None:
@@ -71,7 +80,17 @@ def run_with_memory_poll(
         except psutil.NoSuchProcess:
             break
         time.sleep(1.0 / poll_hz)
-    return time.time() - t0, peak / 1e6, proc.returncode
+    runtime = time.time() - t0
+    if errf is not None:
+        errf.seek(0)
+        text = errf.read().decode(errors="replace")
+        errf.close()
+        sys.stderr.write(text)
+        for name, ms in re.findall(
+            r"(\w[\w ]*?) took ([0-9.]+) ms", text
+        ):
+            phases[name] = float(ms) / 1000.0
+    return runtime, peak / 1e6, proc.returncode
 
 
 def raxtax_tpu_cmd(

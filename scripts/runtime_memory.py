@@ -77,7 +77,10 @@ def main() -> int:
                     ref_f, qry_f, Path(td) / "out",
                     extra=["--backend", args.backend],
                 )
-                results = [("raxtax-tpu", run_with_memory_poll(cmd))]
+                phases: dict = {}
+                results = [
+                    ("raxtax-tpu", run_with_memory_poll(cmd, phases=phases))
+                ]
                 if args.with_sintax:
                     r = run_sintax(ref_f, qry_f, td)
                     if r is not None:
@@ -89,6 +92,15 @@ def main() -> int:
                     if r is not None:
                         results.append(("raxtax-rust", r))
             for tool, (runtime, peak_mb, rc) in results:
+                # classify_s is the steady-state classification phase
+                # ("raxtax" phase_timer, engine/classify.py) — it excludes
+                # FASTA parse, DB build and kernel compile (compile happens
+                # inside the first warmup batches, so a warm persistent
+                # compile cache is assumed for steady-state readings; cold
+                # rows show it as inflated classify_s on rep 0)
+                classify = (
+                    phases.get("raxtax") if tool == "raxtax-tpu" else None
+                )
                 rows.append(
                     {
                         "tool": tool,
@@ -99,13 +111,18 @@ def main() -> int:
                         "returncode": rc,
                         "queries": len(queries),
                         "qps": round(len(queries) / runtime, 2),
+                        "classify_s": round(classify, 3) if classify else "",
+                        "qps_steady": round(len(queries) / classify, 2)
+                        if classify
+                        else "",
                     }
                 )
                 print(rows[-1])
-    with open(args.out, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
-        w.writeheader()
-        w.writerows(rows)
+                # flush incrementally: a killed sweep keeps finished rows
+                with open(args.out, "w", newline="") as f:
+                    w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+                    w.writeheader()
+                    w.writerows(rows)
     print(f"wrote {args.out}")
     return 0
 
