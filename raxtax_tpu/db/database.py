@@ -35,9 +35,13 @@ class ExactIndex:
     lookups by binary search + byte-wise verification.
     """
 
-    def __init__(self, seq_flat: np.ndarray, seq_offsets: np.ndarray):
+    def __init__(self, seq_flat: np.ndarray, seq_offsets: np.ndarray,
+                 _saved=None):
         self._flat = np.asarray(seq_flat)
         self._offsets = np.asarray(seq_offsets)
+        if _saved is not None:  # from_saved: skip the hashing pass
+            self._hashes, self._tips, self._native = _saved
+            return
         n = self._offsets.shape[0] - 1
         # the native FNV hasher streams the flat blob in one C pass
         # (<0.5 s at 1M refs); the vectorized numpy path below is the
@@ -52,6 +56,29 @@ class ExactIndex:
         order = np.lexsort((np.arange(n), hashes))
         self._hashes = hashes[order]
         self._tips = order.astype(np.int64)
+
+    @classmethod
+    def from_saved(cls, seq_flat, seq_offsets, hashes, tips,
+                   built_native: bool) -> "ExactIndex":
+        """Reconstruct from the persisted sorted hash/tip arrays (v2 cache),
+        skipping the full seq_flat hashing pass — the last piece of the
+        reference's `sequences` HashMap (src/tree.rs:50-51) that was still
+        rebuilt on every load. Query-time hashing must match the
+        implementation that BUILT the index (native FNV vs numpy
+        polynomial); if the native lib's availability changed since the
+        save, fall back to a fresh build."""
+        from .. import native
+
+        if bool(built_native) != (native.get_lib() is not None):
+            return cls(seq_flat, seq_offsets)
+        return cls(
+            seq_flat, seq_offsets,
+            _saved=(
+                np.asarray(hashes, dtype=np.uint64),
+                np.asarray(tips, dtype=np.int64),
+                bool(built_native),
+            ),
+        )
 
     def _hash_all(self) -> np.ndarray:
         flat, offsets = self._flat, self._offsets
@@ -291,6 +318,10 @@ def save_database(db: Database, path: str | Path) -> None:
         "node_type": tax.node_type,
         "seq_offsets": db.seq_offsets,
         "seq_flat": db.seq_flat,
+        # persisted exact-match index (sorted hash + tip arrays): loads
+        # skip the full-seq_flat hashing pass entirely
+        "exact_hashes": db.exact_map._hashes,
+        "exact_tips": db.exact_map._tips,
         "kmer_major": db.kmer_major,
     }
     if db.ref_major is not None:
@@ -312,6 +343,7 @@ def save_database(db: Database, path: str | Path) -> None:
             "magic": DB_MAGIC,
             "version": 2,
             "num_tips": int(tax.num_tips),
+            "exact_native": bool(db.exact_map._native),
             "arrays": entries,
         }
     ).encode("utf-8")
@@ -366,8 +398,20 @@ def _load_database_v2(path: str | Path) -> Database:
         node_type=arr("node_type", mmap=False),
         num_tips=num_tips,
     )
-    seq_flat = arr("seq_flat", mmap=False)
+    # lazy mmap: only the exact-match verification and oracle/descent
+    # replays slice individual sequences out of it; nothing streams the
+    # whole 400-MB-at-1M blob at load time anymore
+    seq_flat = arr("seq_flat")
     seq_offsets = arr("seq_offsets", mmap=False)
+    if "exact_hashes" in meta["arrays"]:
+        exact = ExactIndex.from_saved(
+            seq_flat, seq_offsets,
+            arr("exact_hashes", mmap=False),
+            arr("exact_tips", mmap=False),
+            meta.get("exact_native", False),
+        )
+    else:  # pre-round-3 cache: rebuild (hashes the whole blob)
+        exact = _build_exact_map(seq_flat, seq_offsets, num_tips)
     return Database(
         taxonomy=taxonomy,
         # lazy mmap: pallas runs never fault it in; absent when the DB was
@@ -378,7 +422,7 @@ def _load_database_v2(path: str | Path) -> Database:
         kmer_major=arr("kmer_major"),
         seq_flat=seq_flat,
         seq_offsets=seq_offsets,
-        exact_map=_build_exact_map(seq_flat, seq_offsets, num_tips),
+        exact_map=exact,
     )
 
 

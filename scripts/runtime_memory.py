@@ -81,6 +81,17 @@ def main() -> int:
                 results = [
                     ("raxtax-tpu", run_with_memory_poll(cmd, phases=phases))
                 ]
+                # phase_timer lines land in the run's raxtax.log (the
+                # 'raxtax' logger mirrors the reference and writes the log
+                # file, not stderr — utils/logging.py:44-51)
+                import re
+
+                logf = Path(td) / "out" / "raxtax.log"
+                if logf.is_file():
+                    for name, ms in re.findall(
+                        r"(\w[\w ]*?) took ([0-9.]+) ms", logf.read_text()
+                    ):
+                        phases.setdefault(name, float(ms) / 1000.0)
                 if args.with_sintax:
                     r = run_sintax(ref_f, qry_f, td)
                     if r is not None:
