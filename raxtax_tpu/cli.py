@@ -223,14 +223,38 @@ def main(argv: list[str] | None = None) -> int:
         # Parse reference database (binary fast path via the checkpointed
         # path, src/main.rs:61)
         db_path = Path(checkpoint.db_fingerprint.path)
+        # Only the xla bit-matmul backend reads the [N, 2048] ref-major
+        # matrix (engine/device.py); skipping it on the pallas/stream path
+        # saves ~8 GB of build work, cache bytes and load faults at 1M refs
+        # (the reference's bincode DB likewise stores exactly what its
+        # engine reads, src/tree.rs:147-164). `--only-db` under `auto`
+        # keeps the matrix — the future consumer's backend is unknown.
+        backend = args.backend
+        if backend == "auto" and not args.only_db:
+            from .utils.jaxcfg import setup_jax
+
+            setup_jax()
+            import jax
+
+            backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+        want_ref_major = backend in ("auto", "xla")
         try:
             with phase_timer("Parsing References"):
                 parsed_from_fasta, db = load_or_parse_database(
-                    db_path, threads=args.threads
+                    db_path, threads=args.threads,
+                    with_ref_major=want_ref_major,
                 )
         except Exception as e:
             report_error(f"Failed to parse {db_path}", e)
             return errors.NOINPUT
+        if parsed_from_fasta and not want_ref_major:
+            writers.log.write(
+                "[INFO ] Skipped the ref-major bit matrix (backend "
+                f"{backend} never reads it)\n"
+            )
+        checkpoint.db_variant = (
+            "full" if db.ref_major is not None else "km-only"
+        )
 
         if parsed_from_fasta and not args.skip_db and not args._read_only_output:
             bin_path = (Path(args.prefix) / db_path.name).with_suffix(".bin.rxdb")

@@ -71,13 +71,20 @@ class ExactIndex:
 
         if bool(built_native) != (native.get_lib() is not None):
             return cls(seq_flat, seq_offsets)
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        tips = np.asarray(tips, dtype=np.int64)
+        n = np.asarray(seq_offsets).shape[0] - 1
+        # a stale/inconsistent cache would silently miss exact matches or
+        # index out of range at query time; rebuild from scratch instead
+        if (
+            hashes.shape != (n,)
+            or tips.shape != (n,)
+            or (n > 0 and (int(tips.max()) >= n or int(tips.min()) < 0))
+        ):
+            return cls(seq_flat, seq_offsets)
         return cls(
             seq_flat, seq_offsets,
-            _saved=(
-                np.asarray(hashes, dtype=np.uint64),
-                np.asarray(tips, dtype=np.int64),
-                bool(built_native),
-            ),
+            _saved=(hashes, tips, bool(built_native)),
         )
 
     def _hash_all(self) -> np.ndarray:
@@ -130,11 +137,7 @@ class ExactIndex:
             )
             return h * _HASH_MULT + np.uint64(seq.size)
 
-    def get(self, encoded_query: np.ndarray) -> list[int]:
-        seq = np.asarray(encoded_query, dtype=np.uint8)
-        h = self._hash_one(seq)
-        lo = int(np.searchsorted(self._hashes, h, side="left"))
-        hi = int(np.searchsorted(self._hashes, h, side="right"))
+    def _verify(self, lo: int, hi: int, seq: np.ndarray) -> list[int]:
         out = []
         for tip in self._tips[lo:hi]:
             tip = int(tip)
@@ -142,6 +145,42 @@ class ExactIndex:
             if e - s == seq.size and np.array_equal(self._flat[s:e], seq):
                 out.append(tip)
         return out
+
+    def get(self, encoded_query: np.ndarray) -> list[int]:
+        seq = np.asarray(encoded_query, dtype=np.uint8)
+        h = self._hash_one(seq)
+        lo = int(np.searchsorted(self._hashes, h, side="left"))
+        hi = int(np.searchsorted(self._hashes, h, side="right"))
+        return self._verify(lo, hi, seq)
+
+    def get_batch(self, seqs: list[np.ndarray]) -> list[list[int]]:
+        """Exact-match lookups for a whole batch: one native hashing pass +
+        one vectorized binary search (most queries have no hash hit, so the
+        per-query Python cost collapses to the rare candidate verification).
+        """
+        n = len(seqs)
+        if n == 0:
+            return []
+        seqs = [np.asarray(s, dtype=np.uint8) for s in seqs]
+        hs = None
+        if self._native:
+            from .. import native
+
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            offsets[1:] = np.cumsum([s.shape[0] for s in seqs])
+            flat = (
+                np.concatenate(seqs) if offsets[-1] else np.empty(0, np.uint8)
+            )
+            hs = native.hash_sequences(flat, offsets, threads=1)
+        if hs is None:  # numpy-built index (or lib vanished): per query
+            return [self.get(s) for s in seqs]
+        lo = np.searchsorted(self._hashes, hs, side="left")
+        hi = np.searchsorted(self._hashes, hs, side="right")
+        return [
+            self._verify(int(lo[i]), int(hi[i]), seqs[i]) if hi[i] > lo[i]
+            else []
+            for i in range(n)
+        ]
 
     def __eq__(self, other) -> bool:  # test convenience
         return isinstance(other, ExactIndex) and np.array_equal(
@@ -467,11 +506,17 @@ def load_database(path: str | Path) -> Database:
 
 
 def load_or_parse_database(
-    path: str | Path, threads: int = 0
+    path: str | Path, threads: int = 0, with_ref_major: bool = True
 ) -> tuple[bool, Database]:
     """Binary-DB fast path with FASTA fallback (src/parser.rs:36-44).
 
-    Returns (parsed_from_fasta, db)."""
+    Returns (parsed_from_fasta, db). `with_ref_major=False` skips building
+    the [N, 2048] ref-major matrix on the FASTA path — only the xla
+    bit-matmul backend reads it (engine/device.py), and at 1M references it
+    is ~8 GB of build time, cache bytes and load faults the pallas/stream
+    backends never touch. A binary DB loads whatever it contains; the
+    engine raises an actionable error if xla later needs the matrix.
+    """
     try:
         return False, load_database(path)
     except Exception:
@@ -480,5 +525,6 @@ def load_or_parse_database(
 
     records = parse_reference_fasta_file(path)
     return True, build_database(
-        records.lineages, records.sequences, threads=threads
+        records.lineages, records.sequences, threads=threads,
+        with_ref_major=with_ref_major,
     )

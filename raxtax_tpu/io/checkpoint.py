@@ -58,6 +58,11 @@ class Checkpoint:
     skip_exact_matches: bool
     tsv: bool
     processed_queries: set[str] = field(default_factory=set)
+    #: which arrays the binary DB carries: "full" (ref-major + kmer-major)
+    #: or "km-only" (pallas/stream builds skip the ref-major matrix).
+    #: Informational — the .rxdb header is authoritative and the engine
+    #: errors actionably when xla needs the missing matrix.
+    db_variant: str = "full"
     #: non-writing participant of a global-mesh run (host != 0): reads the
     #: coordinator host's checkpoint, never persists or deletes anything
     read_only: bool = False
@@ -89,6 +94,7 @@ class Checkpoint:
                     "raw_confidence": self.raw_confidence,
                     "skip_exact_matches": self.skip_exact_matches,
                     "tsv": self.tsv,
+                    "db_variant": self.db_variant,
                 },
                 f,
                 indent=2,
@@ -106,6 +112,7 @@ class Checkpoint:
             raw_confidence=bool(d["raw_confidence"]),
             skip_exact_matches=bool(d["skip_exact_matches"]),
             tsv=bool(d["tsv"]),
+            db_variant=str(d.get("db_variant", "full")),
         )
 
     def valid_for(self, args) -> bool:

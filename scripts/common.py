@@ -52,13 +52,13 @@ def run_with_memory_poll(
     """Run `cmd`; returns (runtime_s, peak_rss_mb, returncode)
     (reference: scripts/common.py:43-65).
 
-    When `phases` is given, the child's stderr is captured and its
-    `phase_timer` lines ("NAME took X ms", utils/logging.py:77) are parsed
-    into it — this is how the sweep separates steady-state classification
-    time from DB build + kernel compile, which the reference protocol lumps
-    into one wall-clock number."""
+    When `phases` is given, the child's stderr is captured and replayed
+    after the run (keeps the poll loop's timing clean). NOTE: raxtax-tpu's
+    `phase_timer` lines go to the run's raxtax.log, not stderr (the 'raxtax'
+    logger has propagate=False, utils/logging.py:44-51) — callers that need
+    phase durations parse that log file (see runtime_memory.py), which is
+    the single source for them."""
     import os
-    import re
     import tempfile
 
     env = dict(os.environ)
@@ -83,13 +83,8 @@ def run_with_memory_poll(
     runtime = time.time() - t0
     if errf is not None:
         errf.seek(0)
-        text = errf.read().decode(errors="replace")
+        sys.stderr.write(errf.read().decode(errors="replace"))
         errf.close()
-        sys.stderr.write(text)
-        for name, ms in re.findall(
-            r"(\w[\w ]*?) took ([0-9.]+) ms", text
-        ):
-            phases[name] = float(ms) / 1000.0
     return runtime, peak / 1e6, proc.returncode
 
 
