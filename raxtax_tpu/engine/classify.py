@@ -20,7 +20,7 @@ from ..utils.logging import Progress, phase_timer, report_warning
 log = logging.getLogger("raxtax")
 
 
-def make_classifier(db: Database, args):
+def make_classifier(db: Database, args, n_queries_hint: int | None = None):
     """Backend dispatch: 'oracle' (host numpy, exact), 'xla' (jnp device
     pipeline), 'pallas' (custom kernels), 'auto' (best available)."""
     backend = getattr(args, "backend", "auto")
@@ -67,6 +67,7 @@ def make_classifier(db: Database, args):
         descent=getattr(args, "descent", "exact"),
         debug_checks=getattr(args, "debug_checks", False),
         tsv=getattr(args, "tsv", True),
+        n_queries_hint=n_queries_hint,
     )
 
 
@@ -80,7 +81,7 @@ def run_queries(
 
     Returns True if any mislabel warning fired (src/raxtax.rs:23, 93-95).
     """
-    classifier = make_classifier(db, args)
+    classifier = make_classifier(db, args, n_queries_hint=len(queries))
     warnings = False
     progress = Progress(len(queries), "Running Queries...")
     tsv = args.tsv

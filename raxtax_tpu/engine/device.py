@@ -35,11 +35,7 @@ from ..models.oracle import (
     log_exact_matches,
 )
 from ..prob.model import KTableCache, normalized_size_probs
-from ..utils.encoding import (
-    decompress_sequence,
-    round_half_away,
-    sequence_to_kmers,
-)
+from ..utils.encoding import round_half_away, sequence_to_kmers
 
 log = logging.getLogger("raxtax")
 
@@ -200,6 +196,11 @@ class DeviceClassifier:
     _replayed_queries: set = field(default_factory=set, repr=False)
     #: sticky significance-compaction width (grows on overflow)
     _top_k: int = field(default=TOP_K, repr=False)
+    #: sticky capacity (entries) of the ragged packed significance pull;
+    #: grows pow2 on overflow (the exact total rides the packed header, so
+    #: an overflow costs one synchronous re-pack, then never again)
+    _pack_cap: int = field(default=0, repr=False)
+    _zero_stats: object = field(default=None, repr=False)
     #: FIXED overflow-list budget for the compressed representation (set
     #: once per database at create(); never resized — resizing would change
     #: kernel shapes mid-run, and a fresh Mosaic shape costs minutes
@@ -258,6 +259,7 @@ class DeviceClassifier:
         descent: str = "exact",
         debug_checks: bool = False,
         tsv: bool = True,
+        n_queries_hint: int | None = None,
     ) -> "DeviceClassifier":
         import jax.numpy as jnp
 
@@ -279,11 +281,18 @@ class DeviceClassifier:
             # back to xla) materialize f32 counts [B, N] plus one-hot gather
             # temporaries and the double-f32 cum pair — ~32 bytes/tip live
             # across the two in-flight batches, not the planes profile.
+            # Cap 1024: per-batch FIXED costs (two ~23 ms tunnel pulls,
+            # dispatches, host prep) dominate small-DB regimes, so the batch
+            # grows with free HBM (VERDICT r3 item 2); `n_queries_hint`
+            # keeps short runs from padding to a huge batch.
             dense_counts = backend not in ("pallas", "stream")
             per_tip = 32 if dense_counts else 9
             per_query = per_tip * db.num_tips + 24 * tax.eval_ids.shape[0]
-            batch_size = max(32, min(256, (15 << 29) // max(per_query, 1)))
+            batch_size = max(32, min(1024, (15 << 29) // max(per_query, 1)))
             batch_size = 1 << (batch_size.bit_length() - 1)  # floor pow2
+            if n_queries_hint:
+                hint = 1 << max(0, int(n_queries_hint) - 1).bit_length()
+                batch_size = max(32, min(batch_size, hint))
         self = cls(
             db=db,
             skip_exact_matches=skip_exact_matches,
@@ -528,11 +537,10 @@ class DeviceClassifier:
 
     def _resolve_fallbacks(
         self,
-        sites: list[tuple[int, int]],  # (query, eval_pos) descent starts
+        sites: list[tuple[int, int]],  # (query, GLOBAL node) descent starts
         counts,
         cum0,
         tables64: list[np.ndarray | None],
-        eval_ids: np.ndarray,
         rows_pre=None,  # prefetched compressed counts (device handles) or None
         cum_cache: dict[int, np.ndarray] | None = None,
     ) -> dict[tuple[int, int], int]:
@@ -580,9 +588,9 @@ class DeviceClassifier:
         m_pad = max(8, 1 << (m - 1).bit_length())
         b_arr = np.zeros(m_pad, np.int32)
         start_arr = np.full(m_pad, self._pad_node, np.int32)
-        for i, (b, pos) in enumerate(sites):
+        for i, (b, node) in enumerate(sites):
             b_arr[i] = b
-            start_arr[i] = int(eval_ids[pos])
+            start_arr[i] = node
         if self.pipeline is not None:
             finals, margins = self.pipeline.descend(cum0, b_arr, start_arr)
         else:
@@ -600,13 +608,13 @@ class DeviceClassifier:
             margins = np.asarray(margins)
 
         host_sites: list[tuple[int, int]] = []
-        for i, (b, pos) in enumerate(sites):
+        for i, (b, node) in enumerate(sites):
             if self.descent == "device" or (
                 margins[i] > margin_safe and b not in cum_cache
             ):
-                fallback_map[(b, int(eval_ids[pos]))] = int(finals[i])
+                fallback_map[(b, node)] = int(finals[i])
             else:
-                host_sites.append((b, pos))
+                host_sites.append((b, node))
         if not host_sites:
             return fallback_map
 
@@ -616,13 +624,13 @@ class DeviceClassifier:
         self._ensure_cums(fb_queries, counts, rows_pre, tables64, cum_cache)
 
         by_b: dict[int, list[int]] = {}
-        for b, pos in host_sites:
-            by_b.setdefault(b, []).append(pos)
+        for b, node in host_sites:
+            by_b.setdefault(b, []).append(node)
         rs, re = tax.range_start, tax.range_end
         for b in fb_queries:
             cum = cum_cache[b]
-            for pos in by_b[b]:
-                cur = int(eval_ids[pos])
+            for node in by_b[b]:
+                cur = node
                 while tax.node_type[cur] == NODE_INNER:
                     kids = tax.children(cur)
                     # on-demand range sums: descents touch a handful of nodes
@@ -630,7 +638,7 @@ class DeviceClassifier:
                     # Rust max_by keeps the LAST maximal element
                     best = len(v) - 1 - int(np.argmax(v[::-1]))
                     cur = int(kids[best])
-                fallback_map[(b, int(eval_ids[pos]))] = cur
+                fallback_map[(b, node)] = cur
         return fallback_map
 
     def _sparse_counts(self, kmer_idx: np.ndarray, k_pad: int):
@@ -693,6 +701,55 @@ class DeviceClassifier:
             interpret=self._interpret, totals=totals,
         )
 
+    def _pack_pull(self, vals, vals_lo, idx, n_sig, rows_pre, cap=None):
+        """Dispatch the ragged pack and start its (single) host copy."""
+        import jax.numpy as jnp
+
+        from ..ops.nodeconf import pack_significant
+
+        B = self.batch_size
+        if not self._pack_cap:
+            self._pack_cap = max(1024, 8 * B)
+        if rows_pre is not None and rows_pre[0] in ("planes", "planes-dev"):
+            n_over, covered = rows_pre[4], rows_pre[5]
+        else:
+            if self._zero_stats is None:
+                self._zero_stats = jnp.zeros(B, jnp.int32)
+            n_over = covered = self._zero_stats
+        buf = pack_significant(
+            vals, vals_lo, idx, n_sig, n_over, covered,
+            cap if cap is not None else self._pack_cap,
+        )
+        buf.copy_to_host_async()
+        return buf
+
+    def _pull_flat(self, vals, vals_lo, idx, n_sig, rows_pre, packed=None):
+        """Decode the packed significance pull (synchronously re-packing
+        with a grown sticky capacity on overflow; the exact total rides the
+        packed header, so an overflow costs one extra round trip, once).
+
+        Returns (off i64 [B+1], n_sig, n_over, covered, idx, hi, lo) flat
+        views over ALL B rows (padded queries included; callers slice)."""
+        from ..ops.nodeconf import unpack_significant
+
+        B = self.batch_size
+        while True:
+            if packed is None:
+                packed = self._pack_pull(vals, vals_lo, idx, n_sig, rows_pre)
+            cap = (packed.shape[0] - (4 * B + 1)) // 3
+            dec = unpack_significant(packed, B, cap)
+            if dec is not None:
+                off, ns, no, cov, idx_f, hi_f, lo_f = dec
+                return off.astype(np.int64), ns, no, cov, idx_f, hi_f, lo_f
+            need = int(np.asarray(packed)[: B + 1].view(np.int32)[B])
+            self._pack_cap = max(
+                2 * self._pack_cap, 1 << (need - 1).bit_length()
+            )
+            log.debug(
+                "significance pack overflow: cap -> %d", self._pack_cap
+            )
+            packed = None
+
     def prewarm(self, max_kmers: int) -> None:
         """Pin the sticky shape buckets to the query stream's global max
         BEFORE the first batch, so a mixed-length stream compiles exactly
@@ -723,12 +780,25 @@ class DeviceClassifier:
         B = self.batch_size
         labels = [l for l, _ in chunk]
         seqs = [s for _, s in chunk]
-        kmer_sets = [sequence_to_kmers(s) for s in seqs]
-        for km in kmer_sets:
-            assert km.size <= 0xFFFF, "too many distinct query k-mers"
-        # pad the batch to the fixed size with empty queries
-        kmer_sets += [np.empty(0, np.uint16)] * (B - n_real)
-        exact = [self.db.exact_matches(s) for s in seqs]
+        from .. import native
+
+        # one native pass extracts every query's sorted distinct 8-mers
+        # (replaces n_real per-query ctypes calls), one vectorized pass
+        # answers every exact-match lookup
+        res = native.distinct_kmers_flat(seqs)
+        kmer_sets = None
+        if res is not None:
+            flat_k, off_k = res
+            ks_r = np.diff(off_k[: n_real + 1])
+            assert (
+                not n_real or int(ks_r.max(initial=0)) <= 0xFFFF
+            ), "too many distinct query k-mers"
+        else:
+            kmer_sets = [sequence_to_kmers(s) for s in seqs]
+            for km in kmer_sets:
+                assert km.size <= 0xFFFF, "too many distinct query k-mers"
+            ks_r = np.array([k.size for k in kmer_sets], np.int64)
+        exact = self.db.exact_map.get_batch(seqs)
 
         # the packed [B, 65536]-bit query matrix feeds ONLY the xla
         # bit-matmul backend; packing costs ~66 ms per 256-query batch on
@@ -738,7 +808,15 @@ class DeviceClassifier:
             if self.pipeline is not None
             else not self._planes_mode
         )
-        query_bits = pack_query_kmers(kmer_sets) if need_bits else None
+        query_bits = None
+        if need_bits:
+            if kmer_sets is None:
+                kmer_sets = [
+                    flat_k[off_k[i] : off_k[i + 1]] for i in range(n_real)
+                ]
+            query_bits = pack_query_kmers(
+                kmer_sets + [np.empty(0, np.uint16)] * (B - n_real)
+            )
         # Sticky high-water shape buckets: mixed-length query streams would
         # otherwise recompile the whole kernel set on every batch whose max
         # k-mer count shifts buckets (on this platform a fresh Mosaic shape
@@ -746,15 +824,20 @@ class DeviceClassifier:
         # barely cache across processes). The pad level only ever grows, so
         # a run compiles one kernel set plus at most a few regrows; the
         # padded k-mer slots are all-zero gather rows (cheap no-ops).
-        k_max = max((k.size for k in kmer_sets), default=1) or 1
+        k_max = max(int(ks_r.max(initial=0)), 1) if n_real else 1
         k_pad = _round_up(k_max, 32 if k_max <= 128 else 128)
         k_pad = max(k_pad, self._k_pad_hw)
         self._k_pad_hw = k_pad
         kmer_idx = np.full((B, k_pad), 0x10000, dtype=np.int32)
-        for i, km in enumerate(kmer_sets):
-            kmer_idx[i, : km.size] = km
+        if kmer_sets is not None:
+            for i, km in enumerate(kmer_sets):
+                kmer_idx[i, : km.size] = km
+        elif n_real:
+            mask = np.arange(k_pad)[None, :] < ks_r[:, None]
+            kmer_idx[:n_real][mask] = flat_k[: off_k[n_real]]
 
-        ks = [int(k.size) for k in kmer_sets]
+        # pad the batch to the fixed size with empty queries
+        ks = [int(x) for x in ks_r] + [0] * (B - n_real)
         s_max = _round_up(max(ks) + 1, 128)
         s_max = max(s_max, self._s_max_hw)
         self._s_max_hw = s_max
@@ -877,16 +960,7 @@ class DeviceClassifier:
             ):
                 signal_risky.append(b)
 
-        if rows_pre is not None and rows_pre[0] == "planes":
-            # adequacy stats: incomplete overflow lists would leave wrong
-            # probs on the uncovered tips. The shapes are FIXED, so instead
-            # of widening (a minutes-long recompile per new shape on this
-            # platform) finalize_batch checks these and — at most once per
-            # run — redoes the batch's significance with the full-width
-            # mux and flips the sticky dense-count mode.
-            rows_pre[4].copy_to_host_async()  # n_over
-            rows_pre[5].copy_to_host_async()  # covered
-        elif (
+        if (
             not self._planes_mode
             and self.descent == "exact"
             and self._fb_dense
@@ -901,6 +975,16 @@ class DeviceClassifier:
         vals, vals_lo, idx, n_sig, cum0 = self._significant(
             counts, table, self._top_k, rows_pre
         )
+        packed = None
+        if self.pipeline is None:
+            # single pull for the whole significance product set (plus the
+            # planes adequacy stats): each device->host pull costs ~23 ms
+            # tunnel latency at ~40 MB/s, and the [B, top_k] arrays are
+            # mostly padding — the ragged pack ships only real entries
+            packed = self._pack_pull(vals, vals_lo, idx, n_sig, rows_pre)
+        else:
+            for h in (vals, vals_lo, idx, n_sig):
+                h.copy_to_host_async()
         if rows_pre is not None and rows_pre[0] == "planes":
             if self.descent == "exact" and self._fb_dense:
                 # dense host replays last batch: prefetch the whole wire
@@ -913,14 +997,10 @@ class DeviceClassifier:
         elif rows_pre is not None:
             for part in rows_pre[1:]:
                 part.copy_to_host_async()
-        # start the tunnel transfers now; finalize_batch consumes them after
-        # the next batch's submit, so wire time hides behind host work
-        for h in (vals, vals_lo, idx, n_sig):
-            h.copy_to_host_async()
         return (
             labels, seqs, exact, n_real, counts, cum0,
             tables64, global_signals, vals, vals_lo, idx, n_sig, rows_pre,
-            table, signal_risky,
+            table, signal_risky, packed,
         )
 
     def _gather_u16_rows(self, counts, queries: list[int]) -> np.ndarray:
@@ -970,8 +1050,39 @@ class DeviceClassifier:
         (
             labels, seqs, exact, n_real, counts, cum0,
             tables64, global_signals, vals, vals_lo, idx, n_sig, rows_pre,
-            table, signal_risky,
+            table, signal_risky, packed,
         ) = state
+        tax = self.db.taxonomy
+        eval_ids = tax.eval_ids
+        B = self.batch_size
+
+        def flatten_host(vals, vals_lo, idx, n_sig):
+            """Host-side ragged pack (mesh path, where the device arrays
+            were pulled separately): same flat contract as the packed wire."""
+            vals = np.asarray(vals)
+            vals_lo = np.asarray(vals_lo)
+            idx = np.asarray(idx)
+            n_sig = np.asarray(n_sig)
+            k = vals.shape[1]
+            m = np.minimum(n_sig, k).astype(np.int64)
+            off = np.zeros(B + 1, np.int64)
+            np.cumsum(m, out=off[1:])
+            sel = np.arange(k)[None, :] < m[:, None]
+            return (
+                off, n_sig, idx[sel].astype(np.int32),
+                vals[sel], vals_lo[sel],
+            )
+
+        if packed is not None:
+            off, n_sig_h, n_over_h, cov_h, idx_f, hi_f, lo_f = (
+                self._pull_flat(vals, vals_lo, idx, n_sig, rows_pre, packed)
+            )
+        else:
+            off, n_sig_h, idx_f, hi_f, lo_f = flatten_host(
+                vals, vals_lo, idx, n_sig
+            )
+            n_over_h = cov_h = None
+
         sig_rows = rows_pre  # wire feeding _significant's probs fixup
         if (
             rows_pre is not None
@@ -983,33 +1094,42 @@ class DeviceClassifier:
             # mux just before a sibling batch flipped the flag still needs
             # its own adequacy check + redo (its vals/vals_lo are wrong
             # regardless of the flag's current value).
-            # Overflow-extraction adequacy (stats were async-copied in
-            # prepare_batch): any query whose count>15 tips exceed the fixed
-            # budget — or scattered past the compaction's tile fan-in — got
-            # WRONG device probabilities from the low-bit-mux fixup. Redo
-            # this batch's significance with the full-width mux (exact for
-            # every count, no overflow lists) and stay in dense-count mode:
-            # real conserved-marker data (COI-like) overflows on every
-            # batch, and the fixed shapes mean both kernel variants compile
-            # exactly once per process.
-            n_over_h = np.asarray(rows_pre[4])[:n_real]
-            cov_h = np.asarray(rows_pre[5])[:n_real]
+            # Overflow-extraction adequacy (stats ride the packed header):
+            # any query whose count>15 tips exceed the fixed budget — or
+            # scattered past the compaction's tile fan-in — got WRONG device
+            # probabilities from the low-bit-mux fixup. Redo this batch's
+            # significance with the full-width mux (exact for every count,
+            # no overflow lists) and stay in dense-count mode: real
+            # conserved-marker data (COI-like) overflows on every batch, and
+            # the fixed shapes mean both kernel variants compile exactly
+            # once per process.
+            if n_over_h is None:
+                n_over_h = np.asarray(rows_pre[4])
+                cov_h = np.asarray(rows_pre[5])
+            no = n_over_h[:n_real]
+            cv = cov_h[:n_real]
             budget = rows_pre[2].shape[1]
-            if (n_over_h > budget).any() or (
-                cov_h < np.minimum(n_over_h, budget)
-            ).any():
+            if (no > budget).any() or (cv < np.minimum(no, budget)).any():
                 if not self._mux_dense:
                     self._mux_dense = True
                     log.info(
                         "dense intersection profile (max %d tips over the "
                         "%d-slot overflow budget): switching to the "
                         "full-width probability mux",
-                        int(n_over_h.max(initial=0)), budget,
+                        int(no.max(initial=0)), budget,
                     )
                 sig_rows = None  # inadequate wire must not feed the mux
                 vals, vals_lo, idx, n_sig, cum0 = self._significant(
                     counts, table, self._top_k, sig_rows
                 )
+                if packed is not None:
+                    off, n_sig_h, _, _, idx_f, hi_f, lo_f = self._pull_flat(
+                        vals, vals_lo, idx, n_sig, None
+                    )
+                else:
+                    off, n_sig_h, idx_f, hi_f, lo_f = flatten_host(
+                        vals, vals_lo, idx, n_sig
+                    )
         # boundary-risk replay of the global signal in the reference's
         # sequential tip order (src/lineage.rs:86-90)
         if signal_risky:
@@ -1021,12 +1141,7 @@ class DeviceClassifier:
                 global_signals[b] = np.sqrt(
                     np.cumsum((tipp - inv_n) ** 2)[-1]
                 )
-        tax = self.db.taxonomy
-        vals = np.asarray(vals)
-        vals_lo = np.asarray(vals_lo)
-        idx = np.asarray(idx)
-        n_sig = np.asarray(n_sig)
-        max_sig = int(n_sig[:n_real].max()) if n_real else 0
+        max_sig = int(n_sig_h[:n_real].max()) if n_real else 0
         while max_sig > vals.shape[1]:
             # adaptive widening: the initial compaction width was too small
             # for this batch's diffuse match profiles; re-run at the next
@@ -1038,83 +1153,101 @@ class DeviceClassifier:
             vals, vals_lo, idx, n_sig, cum0 = self._significant(
                 counts, table, k, sig_rows
             )
-            vals = np.asarray(vals)
-            vals_lo = np.asarray(vals_lo)
-            idx = np.asarray(idx)
-            n_sig = np.asarray(n_sig)
-            max_sig = int(n_sig[:n_real].max())
+            if packed is not None:
+                off, n_sig_h, _, _, idx_f, hi_f, lo_f = self._pull_flat(
+                    vals, vals_lo, idx, n_sig, sig_rows
+                )
+            else:
+                off, n_sig_h, idx_f, hi_f, lo_f = flatten_host(
+                    vals, vals_lo, idx, n_sig
+                )
+            max_sig = int(n_sig_h[:n_real].max()) if n_real else 0
+
+        # flat views over the REAL queries only (padded rows trail behind)
+        total = int(off[n_real]) if n_real else 0
+        idx_f = idx_f[:total]
         # double-f32 -> f64 recombination: within ~4e-9 of the reference's
         # exact sequential-f64 confidences (see CONF_RISK_MARGIN_*)
-        conf64 = vals.astype(np.float64) + vals_lo.astype(np.float64)
+        conf64_f = hi_f[:total].astype(np.float64) + lo_f[:total].astype(
+            np.float64
+        )
+        nodes_f = eval_ids[idx_f].astype(np.int32)
 
-        if self.debug_checks and n_real:
+        if self.debug_checks and total:
             # confidences are range sums of normalized probabilities: they
             # must land in [0, 1] up to f32 cumsum slack (the reference
             # asserts its normalization at src/prob.rs:98)
-            m = np.arange(vals.shape[1])[None, :] < n_sig[:n_real, None]
-            v = vals[:n_real][m]
+            v = hi_f[:total]
             if v.size and (v.min() < -1e-3 or v.max() > 1.0 + 1e-3):
                 raise AssertionError(
                     "debug-checks: node confidence outside [0, 1] "
                     f"(min {v.min()}, max {v.max()})"
                 )
 
-        # collect fallback descent sites across the batch
-        eval_ids = tax.eval_ids
-        sig_sets: list[dict[int, float]] = []
-        sites: list[tuple[int, int]] = []  # (query, eval_pos)
+        # Boundary-risk correction: device confidences are double-f32; a
+        # value within the recombination error of a half-cent rounding
+        # boundary (x.xx5, incl. the 0.005 significance cutoff) could round
+        # differently than the reference's f64 prefix sums. Detect those
+        # queries and recompute their significant confidences exactly.
         cum_cache: dict[int, np.ndarray] = {}
-        if self.descent == "exact" and n_real:
-            # Boundary-risk correction: device confidences are double-f32;
-            # a value within the recombination error of a half-cent
-            # rounding boundary (x.xx5, incl. the 0.005 significance
-            # cutoff) could round differently than the reference's f64
-            # prefix sums. Detect those queries and recompute their
-            # significant confidences exactly on host.
+        rs_all, re_all = tax.range_start, tax.range_end
+        if self.descent == "exact" and total:
             margin = (
                 CONF_RISK_MARGIN_SINGLE
                 if self.pipeline is None
                 else CONF_RISK_MARGIN_MESH
             )
-            scaled = conf64[:n_real] * 100.0
+            scaled = conf64_f * 100.0
             near = np.abs((scaled % 1.0) - 0.5) < margin
-            valid = (
-                np.arange(vals.shape[1])[None, :] < n_sig[:n_real, None]
-            )
-            risky = sorted(np.nonzero((near & valid).any(axis=1))[0].tolist())
-            if risky:
+            if near.any():
+                qid = np.repeat(
+                    np.arange(n_real), np.diff(off[: n_real + 1])
+                )
+                risky = sorted(set(qid[near].tolist()))
                 self._ensure_cums(
                     risky, counts, rows_pre, tables64, cum_cache
                 )
-        rs_all, re_all = tax.range_start, tax.range_end
-        for b in range(n_real):
-            m = int(n_sig[b])
-            sig = {
-                int(eval_ids[idx[b, j]]): float(conf64[b, j])
-                for j in range(m)
-            }
-            if b in cum_cache:
-                cum = cum_cache[b]
-                sig = {
-                    n: float(cum[re_all[n]] - cum[rs_all[n]]) for n in sig
-                }
-            sig_sets.append(sig)
-            # Fallback sites must mirror evaluate_significant's pruning: the
-            # device threshold has f32 slack below the 0.005 rounding cutoff,
-            # so a raw-significant child can still round to zero — making its
-            # parent a fallback site.
-            rounded_sig = {
-                n
-                for n, v in sig.items()
-                if round_half_away(v) != 0.0 and n != ROOT
-            }
-            parents_of_sig = {int(tax.parent[n]) for n in rounded_sig}
-            for n in rounded_sig | {ROOT}:
-                if tax.node_type[n] == NODE_INNER and n not in parents_of_sig:
-                    sites.append((b, int(tax.eval_pos[n])))
+                for b in risky:
+                    s, e = int(off[b]), int(off[b + 1])
+                    cum = cum_cache[b]
+                    nb = nodes_f[s:e]
+                    conf64_f[s:e] = cum[re_all[nb]] - cum[rs_all[nb]]
+
+        # Fallback sites: Inner significant nodes (plus the root) with no
+        # rounded-significant child (mirrors evaluate_significant's pruning:
+        # the device threshold has f32 slack below the 0.005 cutoff, so a
+        # raw-significant child can still round to zero — making its parent
+        # a fallback site). One native pass over the packed set.
+        sites: list[tuple[int, int]] = []  # (query, GLOBAL node)
+        if n_real:
+            from .. import native
+
+            res = native.find_sites(
+                nodes_f, conf64_f, off[: n_real + 1],
+                tax.parent, tax.node_type,
+            )
+            if res is not None:
+                sites = list(zip(res[0].tolist(), res[1].tolist()))
+            else:  # numpy fallback: same semantics, per query
+                rounded = round_half_away(conf64_f)
+                for b in range(n_real):
+                    s, e = int(off[b]), int(off[b + 1])
+                    nb = nodes_f[s:e]
+                    rsig = {
+                        int(n)
+                        for n, rv in zip(nb, rounded[s:e])
+                        if rv != 0.0 and n != ROOT
+                    }
+                    parents_of = {int(tax.parent[n]) for n in rsig}
+                    for n in sorted(rsig | {ROOT}):
+                        if (
+                            tax.node_type[n] == NODE_INNER
+                            and n not in parents_of
+                        ):
+                            sites.append((b, n))
 
         fallback_map = self._resolve_fallbacks(
-            sites, counts, cum0, tables64, eval_ids, rows_pre, cum_cache
+            sites, counts, cum0, tables64, rows_pre, cum_cache
         )
         # adaptive prefetch for the next batch: only queries whose descent
         # margin was unprovable (or whose confidences sat on a rounding
@@ -1123,87 +1256,90 @@ class DeviceClassifier:
         need_host = self._replayed_queries | set(cum_cache)
         self._fb_dense = len(need_host) * 2 >= max(n_real, 1)
 
-        # per-query fallback (start-node -> leaf) pairs for the evaluator
-        fb_by_b: dict[int, tuple[list[int], list[int]]] = {}
-        for (bb, n), leaf in fallback_map.items():
-            starts_l, leaves_l = fb_by_b.setdefault(bb, ([], []))
-            starts_l.append(n)
-            leaves_l.append(leaf)
-
-        out: list[QueryResult] = []
-        empty_i32 = np.empty(0, np.int32)
+        # exact-match logging + single-match override (src/raxtax.rs:42-53,
+        # 73-84); one pass, before evaluation, mirroring the reference order
+        overrides = np.full(max(n_real, 1), -1, np.int32)
+        warned_flags = [False] * n_real
         for b in range(n_real):
-            warned = None
-            if self._evaluator is not None:
-                # native replay + formatting (the Python path below is the
-                # semantics reference; parity covered by the fuzz suite)
-                warned = log_exact_matches(
+            if exact[b]:
+                warned_flags[b] = log_exact_matches(
                     labels[b], self.db, exact[b], self.skip_exact_matches
                 )
-                override_tip = -1
                 if (
                     not self.skip_exact_matches
                     and not self.raw_confidence
                     and len(exact[b]) == 1
                 ):
-                    override_tip = exact[b][0]
-                sig = sig_sets[b]
-                nodes = np.fromiter(sig.keys(), np.int32, len(sig))
-                nodes.sort()
-                vals64 = np.empty(nodes.shape[0], np.float64)
-                for i, n in enumerate(nodes):
-                    vals64[i] = sig[int(n)]
-                fb_s, fb_l = fb_by_b.get(b, (empty_i32, empty_i32))
-                res = self._evaluator.evaluate(
-                    labels[b],
-                    nodes,
-                    vals64,
-                    np.asarray(fb_s, np.int32),
-                    np.asarray(fb_l, np.int32),
-                    float(global_signals[b]),
-                    override_tip,
-                    decompress_sequence(seqs[b]) if self.tsv else "",
-                    want_tsv=self.tsv,
-                )
-                if res is not None:
-                    out.append(
-                        QueryResult(
-                            label=labels[b],
-                            results=[],
-                            sequence=seqs[b],
-                            mislabel_warning=warned,
-                            out_text=res[0],
-                            tsv_text=res[1],
-                        )
+                    overrides[b] = exact[b][0]
+
+        # per-query fallback CSR in site order (sites arrive query-sorted)
+        n_sites = len(sites)
+        fb_s = np.empty(n_sites, np.int32)
+        fb_l = np.empty(n_sites, np.int32)
+        fb_cnt = np.zeros(max(n_real, 1), np.int64)
+        for i, (q, n) in enumerate(sites):
+            fb_s[i] = n
+            fb_l[i] = fallback_map[(q, n)]
+            fb_cnt[q] += 1
+        fb_off = np.zeros(n_real + 1, np.int64)
+        np.cumsum(fb_cnt[:n_real], out=fb_off[1:])
+
+        outs = tsvs = None
+        if self._evaluator is not None and n_real:
+            # whole-batch native replay + formatting (the Python path below
+            # is the semantics reference; parity covered by the fuzz suite)
+            outs, tsvs = self._evaluator.evaluate_batch(
+                labels[:n_real],
+                nodes_f, conf64_f, off[: n_real + 1],
+                fb_s, fb_l, fb_off,
+                np.ascontiguousarray(global_signals[:n_real]),
+                overrides[:n_real],
+                seqs, want_tsv=self.tsv,
+            )
+
+        out: list[QueryResult] = []
+        for b in range(n_real):
+            if outs is not None and outs[b] is not None:
+                out.append(
+                    QueryResult(
+                        label=labels[b],
+                        results=[],
+                        sequence=seqs[b],
+                        mislabel_warning=warned_flags[b],
+                        out_text=outs[b],
+                        tsv_text=tsvs[b],
                     )
-                    continue
+                )
+                continue
+            # Python replay (no native lib, or the native path declined)
+            s, e = int(off[b]), int(off[b + 1])
+            sig = {
+                int(n): float(v)
+                for n, v in zip(nodes_f[s:e], conf64_f[s:e])
+            }
             results = evaluate_significant(
                 tax,
                 labels[b],
-                sig_sets[b],
+                sig,
                 float(global_signals[b]),
                 lambda node, _b=b: fallback_map[(_b, node)],
             )
             assert results, "evaluation must produce at least one result"
-            # warned is not None when the native path already logged the
-            # exact matches (and then declined the query): don't log twice
-            results, warned2 = apply_exact_match_policy(
+            results, _ = apply_exact_match_policy(
                 labels[b],
                 self.db,
                 exact[b],
                 results,
                 self.raw_confidence,
                 self.skip_exact_matches,
-                log_matches=warned is None,
+                log_matches=False,  # logged in the pass above
             )
-            if warned is None:
-                warned = warned2
             out.append(
                 QueryResult(
                     label=labels[b],
                     results=results,
                     sequence=seqs[b],
-                    mislabel_warning=warned,
+                    mislabel_warning=warned_flags[b],
                 )
             )
         return out

@@ -103,6 +103,25 @@ def get_lib():
             _u8p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
             _u8p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.rx_evaluate_batch.restype = ctypes.c_int
+        lib.rx_evaluate_batch.argtypes = [
+            _i32p, _u8p, _i32p, _i32p, ctypes.c_int64,
+            _u8p, _i64p,
+            _u8p, _i64p,
+            _i32p, _f64p, _i64p,
+            _i32p, _i32p, _i64p,
+            _f64p, _i32p, ctypes.c_int32,
+            _u8p, _i64p,
+            ctypes.c_int64,
+            _u8p, ctypes.c_int64, _i64p,
+            _u8p, ctypes.c_int64, _i64p,
+            _i32p,
+        ]
+        lib.rx_find_sites.restype = ctypes.c_int64
+        lib.rx_find_sites.argtypes = [
+            _i32p, _f64p, _i64p, ctypes.c_int64,
+            _i32p, _u8p, _i32p, _i32p, ctypes.c_int64,
+        ]
         lib.rx_parse_fasta.restype = ctypes.c_int
         lib.rx_parse_fasta.argtypes = [
             _u8p, ctypes.c_int64, ctypes.c_int,
@@ -221,21 +240,33 @@ def hash_sequences(
     return out[:n]
 
 
-def distinct_kmer_counts(seqs: list[np.ndarray]) -> np.ndarray | None:
-    """Distinct-8-mer count of every sequence (int64 [n]), or None w/o the
-    lib. One native pass; feeds DeviceClassifier.prewarm."""
+def distinct_kmers_flat(
+    seqs: list[np.ndarray],
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """(kmers u16 flat, offsets i64 [n+1]) — every sequence's sorted
+    distinct 8-mers in one native pass, or None w/o the lib. Replaces n
+    per-query ctypes calls in the engine's submit phase."""
     lib = get_lib()
     if lib is None:
         return None
     n = len(seqs)
     if n == 0:
-        return np.zeros(0, dtype=np.int64)
+        return np.zeros(0, np.uint16), np.zeros(1, np.int64)
     flat, offsets = _flatten(seqs)
     # each input base opens at most one window
     out = np.empty(max(flat.size, 1), dtype=np.uint16)
     out_offsets = np.zeros(n + 1, dtype=np.int64)
     lib.rx_distinct_kmers_batch(flat, offsets, n, out, out_offsets)
-    return np.diff(out_offsets)
+    return out, out_offsets
+
+
+def distinct_kmer_counts(seqs: list[np.ndarray]) -> np.ndarray | None:
+    """Distinct-8-mer count of every sequence (int64 [n]), or None w/o the
+    lib. One native pass; feeds DeviceClassifier.prewarm."""
+    res = distinct_kmers_flat(seqs)
+    if res is None:
+        return None
+    return np.diff(res[1])
 
 
 def parse_fasta(
@@ -356,6 +387,36 @@ def pack_query_rows(seqs: list[np.ndarray]) -> np.ndarray | None:
     return rows[:n]
 
 
+def find_sites(
+    nodes: np.ndarray,  # i32 packed significant nodes (GLOBAL ids)
+    vals: np.ndarray,  # f64 unrounded confidences, same packing
+    offsets: np.ndarray,  # i64 [B+1] per-query slices
+    parent: np.ndarray,  # i32 [n_nodes]
+    node_type: np.ndarray,  # u8 [n_nodes]
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """(site_query i32 [M], site_node i32 [M]) fallback-descent starts for
+    the whole batch (engine finalize semantics), or None w/o the lib."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n_q = offsets.shape[0] - 1
+    nodes = np.ascontiguousarray(nodes, np.int32)
+    vals = np.ascontiguousarray(vals, np.float64)
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    parent = np.ascontiguousarray(parent, np.int32)
+    node_type = np.ascontiguousarray(node_type, np.uint8)
+    cap = max(4 * n_q, 64)
+    while True:
+        out_q = np.empty(cap, np.int32)
+        out_n = np.empty(cap, np.int32)
+        m = lib.rx_find_sites(
+            nodes, vals, offsets, n_q, parent, node_type, out_q, out_n, cap
+        )
+        if m >= 0:
+            return out_q[:m].copy(), out_n[:m].copy()
+        cap = -m
+
+
 class NativeEvaluator:
     """Per-query lineage evaluation + formatting through rx_evaluate.
 
@@ -388,6 +449,89 @@ class NativeEvaluator:
         if lib is None:
             return None
         return cls(lib, db)
+
+    def evaluate_batch(
+        self,
+        labels: list[str],
+        sig_nodes: np.ndarray,  # i32 packed (CSR over queries); any order
+        sig_vals: np.ndarray,  # f64, same packing
+        sig_offsets: np.ndarray,  # i64 [B+1]
+        fb_starts: np.ndarray,  # i32 packed fallback start nodes
+        fb_leaves: np.ndarray,  # i32 packed precomputed leaves
+        fb_offsets: np.ndarray,  # i64 [B+1]
+        global_signals: np.ndarray,  # f64 [B]
+        override_tips: np.ndarray,  # i32 [B], -1 = no override
+        seqs: list[np.ndarray],  # 4-bit encoded (decompressed in C for tsv)
+        want_tsv: bool = True,
+    ) -> tuple[list[str | None], list[str | None]]:
+        """One native call for the whole batch: per-query (out_text,
+        tsv_text), with None entries for queries the native path declined
+        (missing fallback / no results) — callers replay those in Python."""
+        B = len(labels)
+        lab_enc = [l.encode("utf-8") for l in labels]
+        lab_off = np.zeros(B + 1, np.int64)
+        lab_off[1:] = np.cumsum([len(e) for e in lab_enc])
+        lab_blob = np.frombuffer(b"".join(lab_enc) or b"\x00", np.uint8)
+        if want_tsv:
+            seq_blob, seq_off = _flatten([np.asarray(s) for s in seqs])
+            if seq_blob.size == 0:
+                seq_blob = np.zeros(1, np.uint8)
+        else:
+            seq_blob = np.zeros(1, np.uint8)
+            seq_off = np.zeros(B + 1, np.int64)
+        status = np.zeros(B, np.int32)
+        out_off = np.zeros(B + 1, np.int64)
+        tsv_off = np.zeros(B + 1, np.int64)
+        sig_nodes = np.ascontiguousarray(sig_nodes, np.int32)
+        sig_vals = np.ascontiguousarray(sig_vals, np.float64)
+        sig_offsets = np.ascontiguousarray(sig_offsets, np.int64)
+        fb_starts = np.ascontiguousarray(fb_starts, np.int32)
+        fb_leaves = np.ascontiguousarray(fb_leaves, np.int32)
+        fb_offsets = np.ascontiguousarray(fb_offsets, np.int64)
+        global_signals = np.ascontiguousarray(global_signals, np.float64)
+        override_tips = np.ascontiguousarray(override_tips, np.int32)
+        for _ in range(3):
+            rc = self._lib.rx_evaluate_batch(
+                self._parent, self._node_type, self._rs, self._re,
+                self._num_tips,
+                self._lin_blob, self._lin_offsets,
+                np.ascontiguousarray(lab_blob), lab_off,
+                sig_nodes, sig_vals, sig_offsets,
+                fb_starts, fb_leaves, fb_offsets,
+                global_signals, override_tips, 1 if want_tsv else 0,
+                np.ascontiguousarray(seq_blob), seq_off,
+                B,
+                self._out_buf, self._out_buf.shape[0], out_off,
+                self._tsv_buf, self._tsv_buf.shape[0], tsv_off,
+                status,
+            )
+            if rc == 1:  # grow and retry
+                self._out_buf = np.empty(
+                    max(int(out_off[B]) + 64, 1 << 16), np.uint8
+                )
+                self._tsv_buf = np.empty(
+                    max(int(tsv_off[B]) + 64, 1 << 16), np.uint8
+                )
+                continue
+            break
+        else:
+            return [None] * B, [None] * B
+        out_blob = self._out_buf[: out_off[B]].tobytes()
+        tsv_blob = self._tsv_buf[: tsv_off[B]].tobytes()
+        outs: list[str | None] = []
+        tsvs: list[str | None] = []
+        for q in range(B):
+            if status[q] != 0:
+                outs.append(None)
+                tsvs.append(None)
+                continue
+            outs.append(out_blob[out_off[q] : out_off[q + 1]].decode("utf-8"))
+            tsvs.append(
+                tsv_blob[tsv_off[q] : tsv_off[q + 1]].decode("utf-8")
+                if want_tsv
+                else ""
+            )
+        return outs, tsvs
 
     def evaluate(
         self,
