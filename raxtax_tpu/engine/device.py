@@ -288,7 +288,12 @@ class DeviceClassifier:
             dense_counts = backend not in ("pallas", "stream")
             per_tip = 32 if dense_counts else 9
             per_query = per_tip * db.num_tips + 24 * tax.eval_ids.shape[0]
-            batch_size = max(32, min(1024, (15 << 29) // max(per_query, 1)))
+            # Big batches only pay off where per-batch FIXED costs (tunnel
+            # pulls, dispatch latency) need amortizing; the fold kernels'
+            # SMEM prefetch budget is handled by sub-batching in
+            # submit_batch, so the cap here is about compile time and live
+            # HBM, not correctness.
+            batch_size = max(32, min(256, (15 << 29) // max(per_query, 1)))
             batch_size = 1 << (batch_size.bit_length() - 1)  # floor pow2
             if n_queries_hint:
                 hint = 1 << max(0, int(n_queries_hint) - 1).bit_length()
@@ -861,28 +866,66 @@ class DeviceClassifier:
         elif self._planes_mode:
             from ..ops.planes import planes_histogram, zero_tips_in_planes
 
+            # The fold kernels ride kmer_idx [B_f, k_pad] through the
+            # scalar-prefetch path, and TPU SMEM is 1 MiB — a big batch is
+            # a COMPILE error there ("would exceed memory space smem"). The
+            # fold is the ONLY per-B SMEM consumer, so batches above the
+            # budget split into sub-folds (which reuse the smaller compiled
+            # shape) and concatenate their counter planes; everything
+            # downstream (histogram, probs, scans, compaction) runs at the
+            # full batch, which is where the big-batch amortization lives.
+            fold_max = max(32, (3 << 18) // (4 * k_pad))
+            fold_max = 1 << (fold_max.bit_length() - 1)  # floor pow2
+
             # `counts` carries the counter planes end-to-end in this mode
             if self.backend == "pallas":
                 counts = None
-                if self._sparse:
+                if self._sparse and B <= fold_max:
                     counts = self._sparse_counts(kmer_idx, k_pad)
                 if counts is None:
                     from ..ops.intersect_pallas import (
                         intersection_planes_pallas,
                     )
 
-                    counts = intersection_planes_pallas(
-                        kmer_idx, self.kmer_major, max_count=k_pad,
-                        interpret=self._interpret,
-                        kcounts=np.asarray(ks, np.int64),
-                    )
+                    def fold(idx_part, ks_part):
+                        return intersection_planes_pallas(
+                            idx_part, self.kmer_major, max_count=k_pad,
+                            interpret=self._interpret,
+                            kcounts=np.asarray(ks_part, np.int64),
+                        )
+
+                    if B > fold_max:
+                        counts = jnp.concatenate(
+                            [
+                                fold(
+                                    kmer_idx[i : i + fold_max],
+                                    ks[i : i + fold_max],
+                                )
+                                for i in range(0, B, fold_max)
+                            ],
+                            axis=0,
+                        )
+                    else:
+                        counts = fold(kmer_idx, ks)
             else:
                 from ..ops.intersect_stream import intersection_planes_stream
 
-                counts = intersection_planes_stream(
-                    kmer_idx, self.kmer_major, max_count=k_pad,
-                    interpret=self._interpret,
-                )
+                def fold_s(idx_part):
+                    return intersection_planes_stream(
+                        idx_part, self.kmer_major, max_count=k_pad,
+                        interpret=self._interpret,
+                    )
+
+                if B > fold_max:
+                    counts = jnp.concatenate(
+                        [
+                            fold_s(kmer_idx[i : i + fold_max])
+                            for i in range(0, B, fold_max)
+                        ],
+                        axis=0,
+                    )
+                else:
+                    counts = fold_s(kmer_idx)
             if e_pad:
                 counts = zero_tips_in_planes(counts, jnp.asarray(ids))
             hist_dev = planes_histogram(

@@ -96,7 +96,10 @@ def main() -> int:
         np.asarray(a[7])
         t1 = time.time()
         p = clf.prepare_batch(a)
-        np.asarray(p[8])  # vals pulled
+        if p[15] is not None:
+            np.asarray(p[15])  # packed significance pull landed
+        else:
+            np.asarray(p[8])  # mesh path: vals pulled
         t2 = time.time()
         clf.finalize_batch(p)
         t3 = time.time()
