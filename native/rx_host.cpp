@@ -16,6 +16,7 @@
 //   is the high 2 bits (reference: src/utils.rs:33 `c << (14 - j*2)`).
 
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 
 #include <algorithm>
@@ -446,6 +447,56 @@ void rx_tip_cumsum_u16(const uint16_t* row, const double* table,
         acc += table[row[i]];
         cum[i + 1] = acc;
     }
+}
+
+// Batched max-confidence fallback descents (src/lineage.rs:151-177), all
+// on host in one call. For each unique wire row referenced by the
+// query-grouped site list, the exact sequential-f64 tip prefix sum is
+// built ONCE from the planes wire (identical rounding to
+// rx_tip_cumsum_planes4), then every site of that row descends into the
+// max-confidence child while the node is Inner, keeping the LAST maximal
+// child on ties (Rust max_by). Replaces, on tie-dense workloads, a
+// device descent + 2 tunnel pulls + per-query ctypes replay calls with
+// one bounded host pass.
+void rx_descend_planes4_batch(
+    const uint32_t* lo4, int64_t plane_words,   // [n_rows, 4, plane_words]
+    const int32_t* over_idx,                    // [n_rows, budget]
+    const uint16_t* over_val,                   // [n_rows, budget]
+    int64_t budget, const int64_t* n_over,      // [n_rows]
+    const double* tables, const int64_t* table_off,  // per-row f64 tables
+    int64_t num_tips,
+    const int32_t* site_row, const int32_t* site_node, int64_t n_sites,
+    const int32_t* range_start, const int32_t* range_end,
+    const int32_t* child_ptr, const int32_t* child_ids,
+    const uint8_t* node_type,
+    int32_t* out_final) {
+    double* cum = (double*)malloc((size_t)(num_tips + 1) * sizeof(double));
+    if (!cum) { for (int64_t i = 0; i < n_sites; ++i) out_final[i] = -1; return; }
+    int64_t cur_row = -1;
+    for (int64_t i = 0; i < n_sites; ++i) {
+        int64_t r = site_row[i];
+        if (r != cur_row) {
+            rx_tip_cumsum_planes4(
+                lo4 + r * 4 * plane_words, plane_words,
+                over_idx + r * budget, over_val + r * budget, n_over[r],
+                tables + table_off[r], num_tips, cum);
+            cur_row = r;
+        }
+        int32_t node = site_node[i];
+        while (node_type[node] == 0 /* NODE_INNER */) {
+            int32_t lo = child_ptr[node], hi = child_ptr[node + 1];
+            double best = -1.0;
+            int32_t best_id = node;
+            for (int32_t c = lo; c < hi; ++c) {
+                int32_t cid = child_ids[c];
+                double v = cum[range_end[cid]] - cum[range_start[cid]];
+                if (v >= best) { best = v; best_id = cid; }
+            }
+            node = best_id;
+        }
+        out_final[i] = node;
+    }
+    free(cum);
 }
 
 }  // extern "C"

@@ -540,6 +540,74 @@ class DeviceClassifier:
                     cum = np.concatenate(([0.0], np.cumsum(tipp)))
                 cum_for[b] = cum
 
+    #: host-work budget for the batched all-host descent (tip decode+cumsum
+    #: steps per batch); past this the device-descent path is cheaper than
+    #: decoding every site query's counts on the single host core
+    DESCEND_HOST_WORK = 24_000_000
+
+    def _descend_host_batch(
+        self,
+        sites: list[tuple[int, int]],
+        tables64: list[np.ndarray | None],
+        rows_pre,
+        cum_cache: dict[int, np.ndarray],
+    ) -> dict[tuple[int, int], int] | None:
+        """One native pass resolving every site whose query is not already
+        in `cum_cache`: exact f64 prefix sums + reference max_by descents
+        (rx_descend_planes4_batch). Returns None when the native lib is
+        missing, the wire is inadequate (overflow/coverage), or the decode
+        work exceeds :data:`DESCEND_HOST_WORK` — callers then use the
+        device-descent path."""
+        from .. import native
+
+        if native.get_lib() is None:
+            return None
+        tax = self.db.taxonomy
+        uq = sorted({b for b, _ in sites if b not in cum_cache})
+        if not uq:
+            return {}
+        if len(uq) * self.db.num_tips > self.DESCEND_HOST_WORK:
+            return None
+        if rows_pre[0] == "planes":
+            lo4, over_idx, over_val, n_over, covered = (
+                np.asarray(a) for a in rows_pre[1:6]
+            )
+            row_of = {b: b for b in uq}
+            tables = tables64
+        else:
+            lo4, over_idx, over_val, n_over, covered = _gather_wire_rows(
+                rows_pre, uq
+            )
+            row_of = {b: i for i, b in enumerate(uq)}
+            tables = [tables64[b] for b in uq]
+        budget = over_idx.shape[1]
+        for b in uq:
+            r = row_of[b]
+            n = int(n_over[r])
+            if n > budget or int(covered[r]) < n:
+                return None  # wire can't reproduce this query's counts
+        site_rows: list[int] = []
+        site_nodes: list[int] = []
+        site_keys: list[tuple[int, int]] = []
+        for b, node in sites:  # query-sorted: rows stay grouped
+            if b in cum_cache:
+                continue
+            site_rows.append(row_of[b])
+            site_nodes.append(node)
+            site_keys.append((b, node))
+        finals = native.descend_planes4_batch(
+            lo4, over_idx, over_val, n_over, tables,
+            np.asarray(site_rows, np.int32),
+            np.asarray(site_nodes, np.int32),
+            self.db.num_tips,
+            tax.range_start, tax.range_end,
+            tax.child_ptr, tax.child_ids, tax.node_type,
+        )
+        if finals is None:
+            return None
+        self._replayed_queries = set(uq)
+        return {k: int(f) for k, f in zip(site_keys, finals)}
+
     def _resolve_fallbacks(
         self,
         sites: list[tuple[int, int]],  # (query, GLOBAL node) descent starts
@@ -588,6 +656,39 @@ class DeviceClassifier:
         if cum_cache is None:
             cum_cache = {}
         fallback_map: dict[tuple[int, int], int] = {}
+
+        # All-host batched fast path: tie-dense workloads (conserved-marker
+        # families with near-identical members) fail the dd certainty
+        # margin for MOST sites, so the device descent + its two ~24 ms
+        # tunnel pulls + per-query ctypes replays become pure overhead.
+        # One native call builds each query's exact f64 prefix sum once
+        # and runs every descent (src/lineage.rs:151-177) — measured
+        # ~10x cheaper than the device+replay path at 65k refs. Bounded
+        # by a host-work budget so huge-DB batches keep the device path.
+        if (
+            self.pipeline is None
+            and self.descent == "exact"
+            and rows_pre is not None
+            and rows_pre[0] in ("planes", "planes-dev")
+        ):
+            resolved = self._descend_host_batch(
+                sites, tables64, rows_pre, cum_cache
+            )
+            if resolved is not None:
+                fallback_map.update(resolved)
+                rest = [(b, n) for b, n in sites if b in cum_cache]
+                rs, re = tax.range_start, tax.range_end
+                for b, node in rest:
+                    cum = cum_cache[b]
+                    cur = node
+                    while tax.node_type[cur] == NODE_INNER:
+                        kids = tax.children(cur)
+                        v = cum[re[kids]] - cum[rs[kids]]
+                        best = len(v) - 1 - int(np.argmax(v[::-1]))
+                        cur = int(kids[best])
+                    fallback_map[(b, node)] = cur
+                self._replayed_queries |= {b for b, _ in rest}
+                return fallback_map
 
         m = len(sites)
         m_pad = max(8, 1 << (m - 1).bit_length())

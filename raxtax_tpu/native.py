@@ -122,6 +122,12 @@ def get_lib():
             _i32p, _f64p, _i64p, ctypes.c_int64,
             _i32p, _u8p, _i32p, _i32p, ctypes.c_int64,
         ]
+        lib.rx_descend_planes4_batch.argtypes = [
+            _u32p, ctypes.c_int64, _i32p, _u16p, ctypes.c_int64, _i64p,
+            _f64p, _i64p, ctypes.c_int64,
+            _i32p, _i32p, ctypes.c_int64,
+            _i32p, _i32p, _i32p, _i32p, _u8p, _i32p,
+        ]
         lib.rx_parse_fasta.restype = ctypes.c_int
         lib.rx_parse_fasta.argtypes = [
             _u8p, ctypes.c_int64, ctypes.c_int,
@@ -372,6 +378,73 @@ def tip_cumsum_u16(
         cum,
     )
     return cum
+
+
+def descend_planes4_batch(
+    lo4: np.ndarray,  # [n_rows, 4, S, 128] u32 tier planes (whole wire)
+    over_idx: np.ndarray,  # [n_rows, budget] i32 ascending overflow tips
+    over_val: np.ndarray,  # [n_rows, budget] u16 overflow counts
+    n_over: np.ndarray,  # [n_rows] overflow lengths
+    tables64: list,  # per-row f64 tables (indexed by wire row)
+    rows: np.ndarray,  # [n_sites] i32 wire row per site (grouped by row)
+    nodes: np.ndarray,  # [n_sites] i32 global start node per site
+    num_tips: int,
+    range_start: np.ndarray,
+    range_end: np.ndarray,
+    child_ptr: np.ndarray,
+    child_ids: np.ndarray,
+    node_type: np.ndarray,
+) -> np.ndarray | None:
+    """Final node per site from one batched host pass (exact sequential-f64
+    prefix sums, reference max_by tie semantics — src/lineage.rs:151-177),
+    or None w/o the lib. Each wire row's cumsum is built once; the site
+    list must arrive grouped by row (engine sites are query-sorted)."""
+    lib = get_lib()
+    if lib is None or rows.size == 0:
+        return None if lib is None else np.empty(0, np.int32)
+    lo4 = np.ascontiguousarray(lo4, np.uint32)
+    n_rows = lo4.shape[0]
+    plane_words = lo4.reshape(n_rows, 4, -1).shape[2]
+    # tables are ragged per row; concatenate in row order with offsets.
+    # Rows never referenced by a site still need a (cheap) slot: reuse an
+    # empty region by pointing their offset at 0 length... the C side only
+    # dereferences offsets of referenced rows, but build densely anyway
+    # to keep the contract simple.
+    offs = np.zeros(n_rows + 1, np.int64)
+    parts = []
+    pos = 0
+    for r in range(n_rows):
+        t = tables64[r] if r < len(tables64) and tables64[r] is not None \
+            else np.zeros(1, np.float64)
+        offs[r] = pos
+        parts.append(np.ascontiguousarray(t, np.float64))
+        pos += parts[-1].shape[0]
+    offs[n_rows] = pos
+    tables_flat = (
+        np.concatenate(parts) if parts else np.zeros(1, np.float64)
+    )
+    out = np.empty(rows.shape[0], np.int32)
+    lib.rx_descend_planes4_batch(
+        lo4,
+        plane_words,
+        np.ascontiguousarray(over_idx, np.int32),
+        np.ascontiguousarray(over_val, np.uint16),
+        over_idx.shape[1],
+        np.ascontiguousarray(n_over, np.int64),
+        tables_flat,
+        offs,
+        num_tips,
+        np.ascontiguousarray(rows, np.int32),
+        np.ascontiguousarray(nodes, np.int32),
+        rows.shape[0],
+        np.ascontiguousarray(range_start, np.int32),
+        np.ascontiguousarray(range_end, np.int32),
+        np.ascontiguousarray(child_ptr, np.int32),
+        np.ascontiguousarray(child_ids, np.int32),
+        np.ascontiguousarray(node_type, np.uint8),
+        out,
+    )
+    return out
 
 
 def pack_query_rows(seqs: list[np.ndarray]) -> np.ndarray | None:

@@ -158,3 +158,81 @@ def test_parse_fasta_matches_python(lib):
     assert native.parse_fasta(
         b">a tax=x;\n>b tax=y;\nACGT\n", with_tax=True
     ) is None
+
+
+def test_descend_planes4_batch_matches_python(lib):
+    """Batched native descents == per-query python replay (exact f64 cums,
+    Rust max_by last-max ties — src/lineage.rs:151-177), including exact
+    ties from duplicated count patterns."""
+    from raxtax_tpu.db.database import build_database
+    from raxtax_tpu.db.taxonomy import NODE_INNER
+    from tests.test_planes import encode_planes
+
+    rng = np.random.default_rng(23)
+    lineages, seqs_db = [], []
+    for f in range(6):
+        for s in range(8):
+            for r in range(3):
+                lineages.append(
+                    f"p:A,c:B,o:O{f % 2},f:F{f},g:G{f}_{s % 3},s:S{f}_{s}"
+                )
+                codes = encode_sequence(
+                    "".join(
+                        BASES[b] for b in rng.integers(0, 4, size=60)
+                    )
+                )
+                seqs_db.append(codes)
+    db = build_database(lineages, seqs_db, with_ref_major=False)
+    tax = db.taxonomy
+    num_tips = db.num_tips
+    S = (num_tips + 32 * 128 - 1) // (32 * 128)
+    n_pad = S * 128 * 32
+
+    n_rows = 5
+    counts = np.zeros((n_rows, n_pad), np.int64)
+    counts[:, :num_tips] = rng.integers(0, 20, size=(n_rows, num_tips))
+    # force exact ties: rows 1/3 duplicate whole family blocks
+    counts[1, :num_tips] = np.tile(
+        counts[1, : num_tips // 6], 6
+    )[:num_tips]
+    planes = encode_planes(counts, n_planes=6)
+    lo4 = np.ascontiguousarray(planes[:, :4])
+    budget = 64
+    over_idx = np.full((n_rows, budget), -1, np.int32)
+    over_val = np.zeros((n_rows, budget), np.uint16)
+    n_over = np.zeros(n_rows, np.int64)
+    for r in range(n_rows):
+        ov = np.nonzero(counts[r] > 15)[0]
+        assert ov.size <= budget
+        over_idx[r, : ov.size] = ov
+        over_val[r, : ov.size] = counts[r, ov]
+        n_over[r] = ov.size
+    tables = [rng.random(32) for _ in range(n_rows)]
+
+    # sites: every row descends from the root and one random inner node
+    inner = np.nonzero(tax.node_type == NODE_INNER)[0]
+    rows, nodes = [], []
+    for r in range(n_rows):
+        rows += [r, r]
+        nodes += [0, int(rng.choice(inner))]
+    rows = np.asarray(rows, np.int32)
+    nodes = np.asarray(nodes, np.int32)
+
+    got = native.descend_planes4_batch(
+        lo4, over_idx, over_val, n_over, tables, rows, nodes, num_tips,
+        tax.range_start, tax.range_end, tax.child_ptr, tax.child_ids,
+        tax.node_type,
+    )
+    assert got is not None
+
+    # python reference: exact sequential-f64 cum + last-max descents
+    for i, (r, start) in enumerate(zip(rows, nodes)):
+        tipp = tables[r][counts[r, :num_tips]]
+        cum = np.concatenate(([0.0], np.cumsum(tipp)))
+        cur = int(start)
+        while tax.node_type[cur] == NODE_INNER:
+            kids = tax.children(cur)
+            v = cum[tax.range_end[kids]] - cum[tax.range_start[kids]]
+            best = len(v) - 1 - int(np.argmax(v[::-1]))
+            cur = int(kids[best])
+        assert got[i] == cur, f"site {i}: native {got[i]} python {cur}"
