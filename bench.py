@@ -123,13 +123,20 @@ def get_database(n_refs: int, fam: np.ndarray, rng):
     # faults dominate on this host: fresh memory provisions at tens of
     # MB/s). The xla backend gets its own cache file with the matrix.
     with_ref = BACKEND == "xla"
+    # the planes backends want the FLAT postings layout (permute-free
+    # significance); xla keeps packed. Layout rides the cache name so a
+    # layout switch rebuilds instead of paying a load-time conversion.
+    layout = "packed" if with_ref else "flat"
     cache = Path(
-        f"/tmp/raxtax_bench_db_{n_refs}_v2{'' if with_ref else '_km'}.rxdb"
+        f"/tmp/raxtax_bench_db_{n_refs}_v2"
+        f"{'' if with_ref else '_km_flat'}.rxdb"
     )
     if cache.is_file():
         try:
             t0 = time.time()
             db = load_database(cache)
+            if db.kmer_layout != layout:
+                raise ValueError(f"cache layout {db.kmer_layout}")
             log(f"loaded cached DB in {time.time() - t0:.1f}s: {cache}")
             return db
         except Exception as e:  # stale/corrupt cache
@@ -138,7 +145,9 @@ def get_database(n_refs: int, fam: np.ndarray, rng):
     lineages, seqs = synth_records(n_refs, fam, rng)
     log(f"synthesized {n_refs} records in {time.time() - t0:.1f}s")
     t0 = time.time()
-    db = build_database(lineages, seqs, with_ref_major=with_ref)
+    db = build_database(
+        lineages, seqs, with_ref_major=with_ref, kmer_layout=layout
+    )
     log(f"built {n_refs}-ref DB in {time.time() - t0:.1f}s")
     # only cache when the write (~100 MB/s conservative) cannot bust the
     # budget, and write atomically so a killed run can't poison the next

@@ -166,14 +166,25 @@ inline void scatter_buckets(std::vector<uint64_t>* buckets,
 
 }  // namespace
 
+// `flat_w` selects the reference-column layout: 0 keeps the packed order
+// (ref r -> word r/32, bit r%32); a positive value W lays references out
+// FLAT (ref r -> word r%W, bit r/W, nw must equal W), so that the fold
+// kernel's bit-major expansion enumerates references in taxonomy order —
+// the device then needs no [B, n] permute before the prefix scan.
+static inline int64_t ref_col(int64_t s, int64_t flat_w) {
+    return flat_w ? (s % flat_w) * 32 + s / flat_w : s;
+}
+
 void rx_build_kmer_major(const uint32_t* ref_major, int64_t n_seqs,
-                         uint32_t* kmer_major, int64_t nw, int32_t nthreads) {
+                         uint32_t* kmer_major, int64_t nw, int32_t nthreads,
+                         int64_t flat_w) {
     const int nt = std::max(1, (int)nthreads);
     std::vector<std::vector<uint64_t>> buckets(N_BUCKETS);
     for (int64_t base = 0; base < n_seqs; base += TRANSPOSE_CHUNK) {
         int64_t hi = std::min(base + TRANSPOSE_CHUNK, n_seqs);
         for (int64_t s = base; s < hi; ++s)
-            bucket_row_bits(ref_major + s * REF_WORDS, s, buckets.data());
+            bucket_row_bits(ref_major + s * REF_WORDS, ref_col(s, flat_w),
+                            buckets.data());
         scatter_buckets(buckets.data(), kmer_major, nw, nt);
     }
 }
@@ -185,7 +196,8 @@ void rx_build_kmer_major(const uint32_t* ref_major, int64_t n_seqs,
 // ~20 GB). Each sequence's presence bitmap lives in a reused 8 KiB buffer.
 void rx_build_kmer_major_direct(const uint8_t* flat, const int64_t* offsets,
                                 int64_t n_seqs, uint32_t* kmer_major,
-                                int64_t nw, int32_t nthreads) {
+                                int64_t nw, int32_t nthreads,
+                                int64_t flat_w) {
     const int nt = std::max(1, (int)nthreads);
     std::vector<std::vector<uint64_t>> buckets(N_BUCKETS);
     std::vector<uint32_t> row(REF_WORDS);
@@ -195,7 +207,7 @@ void rx_build_kmer_major_direct(const uint8_t* flat, const int64_t* offsets,
             memset(row.data(), 0, REF_WORDS * sizeof(uint32_t));
             fill_presence_row(flat + offsets[s], offsets[s + 1] - offsets[s],
                               row.data());
-            bucket_row_bits(row.data(), s, buckets.data());
+            bucket_row_bits(row.data(), ref_col(s, flat_w), buckets.data());
         }
         scatter_buckets(buckets.data(), kmer_major, nw, nt);
     }
@@ -410,16 +422,38 @@ void rx_tip_cumsum_nibble(const uint32_t* plane, const int32_t* over_idx,
 // Harley-Seal ones/twos/fours/eights counters, so the device ships them
 // with ZERO repacking work) plus the ascending overflow list for counts
 // > 15. Tip i lives in word i>>5, bit i&31 of each plane.
+// `flat_w` selects the tip layout (see rx_build_kmer_major): 0 = packed
+// (tip i -> word i/32, bit i%32); W = flat (tip q -> word q%W, bit q/W).
 void rx_tip_cumsum_planes4(const uint32_t* p0, int64_t plane_words,
                            const int32_t* over_idx, const uint16_t* over_val,
                            int64_t n_over, const double* table,
-                           int64_t num_tips, double* cum) {
+                           int64_t num_tips, double* cum, int64_t flat_w) {
     const uint32_t* p1 = p0 + plane_words;
     const uint32_t* p2 = p1 + plane_words;
     const uint32_t* p3 = p2 + plane_words;
     double acc = 0.0;
     cum[0] = 0.0;
     int64_t oi = 0;
+    if (flat_w) {
+        // flat layout: sequential q walks each bit layer's words in order
+        int64_t q = 0;
+        for (int64_t b = 0; q < num_tips; ++b) {
+            uint32_t m0 = uint32_t(1) << (b & 31);
+            for (int64_t w = 0; w < flat_w && q < num_tips; ++w, ++q) {
+                uint32_t c = ((p0[w] & m0) ? 1u : 0u) |
+                             ((p1[w] & m0) ? 2u : 0u) |
+                             ((p2[w] & m0) ? 4u : 0u) |
+                             ((p3[w] & m0) ? 8u : 0u);
+                if (oi < n_over && over_idx[oi] == q) {
+                    c = over_val[oi];
+                    ++oi;
+                }
+                acc += table[c];
+                cum[q + 1] = acc;
+            }
+        }
+        return;
+    }
     for (int64_t w = 0; w * 32 < num_tips; ++w) {
         uint32_t b0 = p0[w], b1 = p1[w], b2 = p2[w], b3 = p3[w];
         int64_t base = w * 32;
@@ -469,7 +503,7 @@ void rx_descend_planes4_batch(
     const int32_t* range_start, const int32_t* range_end,
     const int32_t* child_ptr, const int32_t* child_ids,
     const uint8_t* node_type,
-    int32_t* out_final) {
+    int32_t* out_final, int64_t flat_w) {
     double* cum = (double*)malloc((size_t)(num_tips + 1) * sizeof(double));
     if (!cum) { for (int64_t i = 0; i < n_sites; ++i) out_final[i] = -1; return; }
     int64_t cur_row = -1;
@@ -479,7 +513,7 @@ void rx_descend_planes4_batch(
             rx_tip_cumsum_planes4(
                 lo4 + r * 4 * plane_words, plane_words,
                 over_idx + r * budget, over_val + r * budget, n_over[r],
-                tables + table_off[r], num_tips, cum);
+                tables + table_off[r], num_tips, cum, flat_w);
             cur_row = r;
         }
         int32_t node = site_node[i];

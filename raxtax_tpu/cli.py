@@ -238,11 +238,26 @@ def main(argv: list[str] | None = None) -> int:
 
             backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
         want_ref_major = backend in ("auto", "xla")
+        # the sharded mesh pipeline slices contiguous reference columns and
+        # needs the packed postings layout; single-chip planes backends run
+        # permute-free on the flat layout (bitmatrix.build_kmer_major).
+        # Mirror run_queries' mesh decision (engine/classify.py): a mesh
+        # forms when --mesh is set or multiple local devices exist.
+        want_layout = "packed"
+        if backend in ("pallas", "stream") and not args.mesh:
+            from .utils.jaxcfg import setup_jax
+
+            setup_jax()
+            import jax
+
+            if proc_count == 1 and len(jax.local_devices()) == 1:
+                want_layout = "auto"  # flat at scale, packed for tiny DBs
         try:
             with phase_timer("Parsing References"):
                 parsed_from_fasta, db = load_or_parse_database(
                     db_path, threads=args.threads,
                     with_ref_major=want_ref_major,
+                    kmer_layout=want_layout,
                 )
         except Exception as e:
             report_error(f"Failed to parse {db_path}", e)

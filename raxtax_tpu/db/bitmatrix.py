@@ -73,18 +73,35 @@ def build_ref_major(
     return _set_bits((num_refs, REF_WORDS), ref_ids, kmers.astype(np.int64))
 
 
+def flat_words(num_refs: int) -> int:
+    """Word count W of the FLAT postings layout, with capacity
+    32*W >= num_refs. W is a multiple of 1024 = LANE(128) x 8 sublanes so
+    NO device-side prep (dense fold, block-sparse fold, stream) ever pads
+    the matrix further — the flat tip mapping (word q%W, bit q/W) is baked
+    into the matrix and any later width change would shear it."""
+    return 1024 * max(1, -(-num_refs // (WORD_BITS * 1024)))
+
+
 def build_kmer_major(
-    ref_ids: np.ndarray, kmers: np.ndarray, num_refs: int
+    ref_ids: np.ndarray, kmers: np.ndarray, num_refs: int,
+    kmer_layout: str = "packed",
 ) -> np.ndarray:
-    """[65537, ceil(num_refs/32)] uint32 postings bitvectors (bit index = ref).
+    """[65537, n_words] uint32 postings bitvectors.
 
     Row 65536 is all zeros — the scatter target for padded query k-mers in
-    the Pallas kernel.
+    the Pallas kernel. `kmer_layout` picks the reference-column layout:
+    "packed" puts ref r at word r/32, bit r%32 (n_words = ceil(n/32));
+    "flat" puts ref r at word r%W, bit r/W (n_words = :func:`flat_words`),
+    so the fold kernel's bit-major planes enumerate references in taxonomy
+    order and the significance stage skips its [B, n] permute.
     """
+    refs = ref_ids.astype(np.int64)
+    if kmer_layout == "flat":
+        w = flat_words(num_refs)
+        cols = (refs % w) * WORD_BITS + refs // w
+        return _set_bits((NUM_KMERS + 1, w), kmers.astype(np.int64), cols)
     n_words = max(1, -(-num_refs // WORD_BITS))
-    return _set_bits(
-        (NUM_KMERS + 1, n_words), kmers.astype(np.int64), ref_ids.astype(np.int64)
-    )
+    return _set_bits((NUM_KMERS + 1, n_words), kmers.astype(np.int64), refs)
 
 
 def pack_query_kmers(kmer_sets: list[np.ndarray]) -> np.ndarray:

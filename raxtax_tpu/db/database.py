@@ -10,6 +10,7 @@ src/parser.rs:38-40).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -194,10 +195,15 @@ class Database:
     #: [num_tips, 2048] uint32, or None when built with
     #: with_ref_major=False (pallas/stream/oracle paths never read it)
     ref_major: np.ndarray | None
-    kmer_major: np.ndarray  #: [65537, ceil(num_tips/32)] uint32
+    kmer_major: np.ndarray  #: [65537, n_words] uint32 postings bitvectors
     seq_flat: np.ndarray  #: uint8, concatenated 4-bit-encoded sequences
     seq_offsets: np.ndarray  #: int64 [num_tips+1]
     exact_map: ExactIndex  #: encoded sequence -> sorted tip ids
+    #: reference-column layout of kmer_major (bitmatrix.build_kmer_major):
+    #: "packed" = ref r at word r/32 bit r%32; "flat" = word r%W bit r/W,
+    #: making the fold kernel's bit-major planes enumerate references in
+    #: taxonomy order (no [B, n] permute before the significance scan)
+    kmer_layout: str = "packed"
 
     @property
     def num_tips(self) -> int:
@@ -223,11 +229,27 @@ def _build_exact_map(seq_flat, seq_offsets, num_tips) -> ExactIndex:
 _SLOW_BUILD_LIMIT = 200_000
 
 
+#: below this many references the flat postings layout is pure waste: its
+#: word count is fixed at a multiple of 1024 (bitmatrix.flat_words), so a
+#: tiny database would carry a 1024-word row per k-mer where the packed
+#: layout needs one or two
+_FLAT_LAYOUT_MIN_REFS = 16384
+
+
+def resolve_kmer_layout(kmer_layout: str, num_refs: int) -> str:
+    """"auto" -> "flat" at scale (permute-free significance), "packed"
+    below :data:`_FLAT_LAYOUT_MIN_REFS` (and for the mesh pipeline)."""
+    if kmer_layout != "auto":
+        return kmer_layout
+    return "flat" if num_refs >= _FLAT_LAYOUT_MIN_REFS else "packed"
+
+
 def build_database(
     lineages: list[str],
     sequences: "list[np.ndarray] | np.ndarray",
     threads: int = 0,
     with_ref_major: bool = True,
+    kmer_layout: str = "auto",
 ) -> Database:
     """Build the full database from raw (file-order) records.
 
@@ -247,6 +269,7 @@ def build_database(
 
     log = logging.getLogger("raxtax")
     n = len(lineages)
+    kmer_layout = resolve_kmer_layout(kmer_layout, n)
     if n != len(sequences):
         raise ValueError("lineage/sequence count mismatch")
     if n >= 2**31:
@@ -278,7 +301,8 @@ def build_database(
     from .. import native
 
     mats = native.build_bit_matrices_flat(
-        seq_flat, seq_offsets, threads, with_ref_major=with_ref_major
+        seq_flat, seq_offsets, threads, with_ref_major=with_ref_major,
+        kmer_layout=kmer_layout,
     )
     if mats is not None:
         ref_major, kmer_major = mats
@@ -303,7 +327,9 @@ def build_database(
             sorted_seqs = list(seq2d)
         ref_ids, kmers = bitmatrix.distinct_kmers_per_ref(sorted_seqs)
         ref_major = bitmatrix.build_ref_major(ref_ids, kmers, n)
-        kmer_major = bitmatrix.build_kmer_major(ref_ids, kmers, n)
+        kmer_major = bitmatrix.build_kmer_major(
+            ref_ids, kmers, n, kmer_layout=kmer_layout
+        )
     t_bits = time.time()
 
     exact_map = _build_exact_map(seq_flat, seq_offsets, n)
@@ -320,7 +346,52 @@ def build_database(
         seq_flat=seq_flat,
         seq_offsets=seq_offsets,
         exact_map=exact_map,
+        kmer_layout=kmer_layout,
     )
+
+
+def ensure_kmer_layout(db: Database, kmer_layout: str) -> Database:
+    """Return `db` with kmer_major in the requested layout, rebuilding the
+    postings matrix from the stored sequences when it differs (one native
+    pass; the sharded mesh pipeline slices contiguous reference columns and
+    therefore needs the packed layout, while the single-chip planes path
+    wants flat — see bitmatrix.build_kmer_major)."""
+    kmer_layout = resolve_kmer_layout(kmer_layout, db.num_tips)
+    if db.kmer_layout == kmer_layout:
+        return db
+    import logging
+
+    logging.getLogger("raxtax").info(
+        "rebuilding kmer-major postings in %s layout (database holds %s)",
+        kmer_layout, db.kmer_layout,
+    )
+    from .. import native
+
+    mats = native.build_bit_matrices_flat(
+        np.ascontiguousarray(db.seq_flat, np.uint8),
+        np.ascontiguousarray(db.seq_offsets, np.int64),
+        with_ref_major=False, kmer_layout=kmer_layout,
+    )
+    if mats is not None:
+        km = mats[1]
+    else:
+        n = db.num_tips
+        if n > _SLOW_BUILD_LIMIT and not os.environ.get(
+            "RAXTAX_ALLOW_SLOW_BUILD"
+        ):
+            raise RuntimeError(
+                "native builder unavailable for the kmer-layout rebuild at "
+                f"{n} references (set RAXTAX_ALLOW_SLOW_BUILD=1 to force "
+                "the numpy path)"
+            )
+        seqs = [db.sequence(i) for i in range(n)]
+        ref_ids, kmers = bitmatrix.distinct_kmers_per_ref(seqs)
+        km = bitmatrix.build_kmer_major(
+            ref_ids, kmers, n, kmer_layout=kmer_layout
+        )
+    db.kmer_major = km
+    db.kmer_layout = kmer_layout
+    return db
 
 
 RXDB_MAGIC = b"RXDB0002"
@@ -383,6 +454,7 @@ def save_database(db: Database, path: str | Path) -> None:
             "version": 2,
             "num_tips": int(tax.num_tips),
             "exact_native": bool(db.exact_map._native),
+            "kmer_layout": db.kmer_layout,
             "arrays": entries,
         }
     ).encode("utf-8")
@@ -462,6 +534,7 @@ def _load_database_v2(path: str | Path) -> Database:
         seq_flat=seq_flat,
         seq_offsets=seq_offsets,
         exact_map=exact,
+        kmer_layout=meta.get("kmer_layout", "packed"),
     )
 
 
@@ -506,7 +579,8 @@ def load_database(path: str | Path) -> Database:
 
 
 def load_or_parse_database(
-    path: str | Path, threads: int = 0, with_ref_major: bool = True
+    path: str | Path, threads: int = 0, with_ref_major: bool = True,
+    kmer_layout: str = "auto",
 ) -> tuple[bool, Database]:
     """Binary-DB fast path with FASTA fallback (src/parser.rs:36-44).
 
@@ -514,17 +588,21 @@ def load_or_parse_database(
     the [N, 2048] ref-major matrix on the FASTA path — only the xla
     bit-matmul backend reads it (engine/device.py), and at 1M references it
     is ~8 GB of build time, cache bytes and load faults the pallas/stream
-    backends never touch. A binary DB loads whatever it contains; the
-    engine raises an actionable error if xla later needs the matrix.
+    backends never touch. A binary DB loads whatever it contains (a
+    mismatched `kmer_layout` postings matrix is rebuilt in one native
+    pass); the engine raises an actionable error if xla later needs the
+    ref-major matrix.
     """
     try:
-        return False, load_database(path)
+        db = load_database(path)
     except Exception:
-        pass
+        db = None
+    if db is not None:
+        return False, ensure_kmer_layout(db, kmer_layout)
     from ..io.fasta import parse_reference_fasta_file
 
     records = parse_reference_fasta_file(path)
     return True, build_database(
         records.lineages, records.sequences, threads=threads,
-        with_ref_major=with_ref_major,
+        with_ref_major=with_ref_major, kmer_layout=kmer_layout,
     )

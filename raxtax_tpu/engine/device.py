@@ -81,7 +81,9 @@ def gather_count_rows(counts, fb_queries: list[int]) -> np.ndarray:
     return np.asarray(rows)[:m]
 
 
-def gather_plane_rows(planes, fb_queries: list[int]) -> np.ndarray:
+def gather_plane_rows(
+    planes, fb_queries: list[int], layout: str = "packed"
+) -> np.ndarray:
     """[len(fb_queries), N_pad] uint16 counts decoded from gathered counter
     planes — the planes-mode analogue of :func:`gather_count_rows` at
     n_planes/16 of the u16 wire bytes."""
@@ -94,7 +96,7 @@ def gather_plane_rows(planes, fb_queries: list[int]) -> np.ndarray:
     sel = np.asarray(_gather_rows_raw()(planes, jnp.asarray(idx)))[:m]
     from ..ops.compress import decode_plane_rows
 
-    return decode_plane_rows(sel)
+    return decode_plane_rows(sel, layout)
 
 
 def _gather_wire_rows(rows_pre, queries: list[int]):
@@ -192,6 +194,12 @@ class DeviceClassifier:
     #: previous batch had dense host-replayed fallbacks -> prefetch the
     #: compressed counts in prepare_batch instead of a per-site gather
     _fb_dense: bool = field(default=False, repr=False)
+    #: kmer-major postings layout of the database matrix ("packed"/"flat",
+    #: bitmatrix.build_kmer_major); "flat" lets the significance stage use
+    #: the kernel's bit-major planes as tip-order probs with no permute
+    _layout: str = field(default="packed", repr=False)
+    #: word count W of the flat layout (0 when packed) for host decoders
+    _flat_w: int = field(default=0, repr=False)
     #: queries whose descents were replayed on host last batch
     _replayed_queries: set = field(default_factory=set, repr=False)
     #: sticky significance-compaction width (grows on overflow)
@@ -309,8 +317,12 @@ class DeviceClassifier:
             tsv=tsv,
         )
         if mesh is not None:
+            from ..db.database import ensure_kmer_layout
             from ..parallel.mesh import ShardedPipeline
 
+            # the mesh pipeline slices contiguous reference columns per
+            # model shard, which only the packed layout supports
+            ensure_kmer_layout(db, "packed")
             self.pipeline = ShardedPipeline.create(
                 db, mesh,
                 backend=backend if backend in ("pallas", "stream") else "xla",
@@ -350,6 +362,10 @@ class DeviceClassifier:
         from .. import native
 
         self._evaluator = native.NativeEvaluator.create(db)
+        if mesh is None and backend in ("pallas", "stream"):
+            self._layout = db.kmer_layout
+            if self._layout == "flat":
+                self._flat_w = int(db.kmer_major.shape[1])
         if mesh is None and backend == "pallas":
             import jax
 
@@ -420,6 +436,7 @@ class DeviceClassifier:
                 over_val=over_val,
                 bm_scan=self._bm_scan,
                 split=self._split,
+                layout=self._layout,
             )
         return significant_nodes(
             counts,
@@ -490,14 +507,14 @@ class DeviceClassifier:
                     continue
                 cum = native.tip_cumsum_planes4(
                     lo4[bb], over_idx[bb], over_val[bb], n,
-                    tables64[b], num_tips,
+                    tables64[b], num_tips, flat_w=self._flat_w,
                 )
                 if cum is None:  # no native lib: numpy decompress path
                     from ..ops.compress import decompress_planes_rows
 
                     row, over = decompress_planes_rows(
                         lo4, over_idx, over_val, n_over, [bb], num_tips,
-                        budget=budget,
+                        budget=budget, layout=self._layout,
                     )
                     assert not over
                     tipp = tables64[b][row[0]]
@@ -602,6 +619,7 @@ class DeviceClassifier:
             self.db.num_tips,
             tax.range_start, tax.range_end,
             tax.child_ptr, tax.child_ids, tax.node_type,
+            flat_w=self._flat_w,
         )
         if finals is None:
             return None
@@ -1028,7 +1046,9 @@ class DeviceClassifier:
                 else:
                     counts = fold_s(kmer_idx)
             if e_pad:
-                counts = zero_tips_in_planes(counts, jnp.asarray(ids))
+                counts = zero_tips_in_planes(
+                    counts, jnp.asarray(ids), layout=self._layout
+                )
             hist_dev = planes_histogram(
                 counts, s_max, self.db.num_tips, interpret=self._interpret
             )
@@ -1062,6 +1082,7 @@ class DeviceClassifier:
             rows_pre = ("planes",) + compress_planes(
                 counts, budget=self._over_budget,
                 interpret=self._interpret, spread=self._over_spread,
+                layout=self._layout,
             )
 
         hist = np.array(hist_dev)  # sync point: device counts+histogram
@@ -1154,7 +1175,9 @@ class DeviceClassifier:
         if self.pipeline is not None:
             return self.pipeline.gather_rows(counts, queries)[:, :num_tips]
         if self.backend in ("pallas", "stream"):  # counts are planes
-            return gather_plane_rows(counts, queries)[:, :num_tips]
+            return gather_plane_rows(
+                counts, queries, self._layout
+            )[:, :num_tips]
         return gather_count_rows(counts, queries)[:, :num_tips]
 
     def _exact_row(self, b: int, counts, rows_pre) -> np.ndarray:
@@ -1175,7 +1198,8 @@ class DeviceClassifier:
                     row = None
                 else:
                     row, over = decompress_planes_rows(
-                        *parts, [b], num_tips, budget=budget
+                        *parts, [b], num_tips, budget=budget,
+                        layout=self._layout,
                     )
             else:
                 from ..ops.compress import decompress_rows

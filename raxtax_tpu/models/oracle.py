@@ -53,8 +53,14 @@ def intersection_counts(db: Database, kmers: np.ndarray) -> np.ndarray:
     """|query kmers ∩ ref kmers| for every reference (src/raxtax.rs:58-64)."""
     if kmers.size == 0:
         return np.zeros(db.num_tips, dtype=np.uint16)
-    rows = db.kmer_major[kmers.astype(np.int64)]  # [K, W] uint32
+    rows = np.asarray(db.kmer_major[kmers.astype(np.int64)])  # [K, W] uint32
     bits = np.unpackbits(rows.view(np.uint8), axis=1, bitorder="little")
+    if db.kmer_layout == "flat":
+        # flat layout: ref q at word q%W, bit q/W (bitmatrix.build_kmer_major)
+        W = rows.shape[1]
+        bits = np.ascontiguousarray(
+            bits.reshape(-1, W, 32).transpose(0, 2, 1)
+        ).reshape(-1, 32 * W)
     return bits.sum(axis=0, dtype=np.uint32)[: db.num_tips].astype(np.uint16)
 
 

@@ -71,10 +71,11 @@ def get_lib():
         ]
         lib.rx_build_kmer_major.argtypes = [
             _u32p, ctypes.c_int64, _u32p, ctypes.c_int64, ctypes.c_int32,
+            ctypes.c_int64,
         ]
         lib.rx_build_kmer_major_direct.argtypes = [
             _u8p, _i64p, ctypes.c_int64, _u32p, ctypes.c_int64,
-            ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int64,
         ]
         lib.rx_distinct_kmers.restype = ctypes.c_int64
         lib.rx_distinct_kmers.argtypes = [_u8p, ctypes.c_int64, _u16p]
@@ -89,7 +90,7 @@ def get_lib():
         lib.rx_tip_cumsum_u16.argtypes = [_u16p, _f64p, ctypes.c_int64, _f64p]
         lib.rx_tip_cumsum_planes4.argtypes = [
             _u32p, ctypes.c_int64, _i32p, _u16p, ctypes.c_int64, _f64p,
-            ctypes.c_int64, _f64p,
+            ctypes.c_int64, _f64p, ctypes.c_int64,
         ]
         lib.rx_evaluate.restype = ctypes.c_int
         lib.rx_evaluate.argtypes = [
@@ -126,7 +127,7 @@ def get_lib():
             _u32p, ctypes.c_int64, _i32p, _u16p, ctypes.c_int64, _i64p,
             _f64p, _i64p, ctypes.c_int64,
             _i32p, _i32p, ctypes.c_int64,
-            _i32p, _i32p, _i32p, _i32p, _u8p, _i32p,
+            _i32p, _i32p, _i32p, _i32p, _u8p, _i32p, ctypes.c_int64,
         ]
         lib.rx_parse_fasta.restype = ctypes.c_int
         lib.rx_parse_fasta.argtypes = [
@@ -172,9 +173,9 @@ def resolve_threads(threads: int = 0) -> int:
 
 def build_bit_matrices_flat(
     flat: np.ndarray, offsets: np.ndarray, threads: int = 0,
-    with_ref_major: bool = True,
+    with_ref_major: bool = True, kmer_layout: str = "packed",
 ) -> tuple[np.ndarray | None, np.ndarray] | None:
-    """(ref_major [n,2048] u32 or None, kmer_major [65537, ceil(n/32)] u32)
+    """(ref_major [n,2048] u32 or None, kmer_major postings matrix u32)
     via the native one-pass builder, from pre-flattened sequences, or None
     when the library is unavailable.
 
@@ -183,26 +184,38 @@ def build_bit_matrices_flat(
     that halves the build's fresh-memory footprint, which dominates build
     time on hosts with slow page-fault provisioning.
 
+    `kmer_layout` selects the reference-column layout of kmer_major:
+    "packed" = ref r at word r/32, bit r%32 (width ceil(n/32));
+    "flat" = ref r at word r%W, bit r/W with W lane-padded
+    (db.bitmatrix.flat_words) — the fold kernel's bit-major expansion then
+    enumerates references in taxonomy order, so the device needs no
+    [B, n] permute before the significance prefix scan.
+
     `threads` sizes the native worker pool (0 = all cores) — the reference
     parallelizes its postings build the same way (src/tree.rs:134-137)."""
     lib = get_lib()
     if lib is None:
         return None
+    from .db.bitmatrix import flat_words
+
     n = offsets.shape[0] - 1
     nt = resolve_threads(threads)
     flat = np.ascontiguousarray(flat, dtype=np.uint8)
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
-    nw = max(1, -(-n // 32))
+    flat_w = flat_words(n) if kmer_layout == "flat" else 0
+    nw = flat_w if flat_w else max(1, -(-n // 32))
     kmer_major = np.zeros((NUM_KMERS + 1, nw), dtype=np.uint32)
     if not with_ref_major:
         if n:
-            lib.rx_build_kmer_major_direct(flat, offsets, n, kmer_major, nw, nt)
+            lib.rx_build_kmer_major_direct(
+                flat, offsets, n, kmer_major, nw, nt, flat_w
+            )
         return None, kmer_major
     ref_major = np.zeros((max(n, 1), REF_WORDS), dtype=np.uint32)
     counts = np.zeros(max(n, 1), dtype=np.int32)
     if n:
         lib.rx_build_ref_major(flat, offsets, n, ref_major, counts, nt)
-        lib.rx_build_kmer_major(ref_major, n, kmer_major, nw, nt)
+        lib.rx_build_kmer_major(ref_major, n, kmer_major, nw, nt, flat_w)
     return ref_major[:n] if n else ref_major[:0], kmer_major
 
 
@@ -343,6 +356,7 @@ def tip_cumsum_planes4(
     n_over: int,
     table64: np.ndarray,  # f64 per-size probabilities
     num_tips: int,
+    flat_w: int = 0,  # 0 = packed tip layout; W = flat (word q%W, bit q/W)
 ) -> np.ndarray | None:
     """cum[num_tips+1] f64 sequential prefix sum from the planes wire
     format, or None w/o the lib."""
@@ -360,6 +374,7 @@ def tip_cumsum_planes4(
         np.ascontiguousarray(table64, np.float64),
         num_tips,
         cum,
+        flat_w,
     )
     return cum
 
@@ -394,6 +409,7 @@ def descend_planes4_batch(
     child_ptr: np.ndarray,
     child_ids: np.ndarray,
     node_type: np.ndarray,
+    flat_w: int = 0,  # 0 = packed tip layout; W = flat (word q%W, bit q/W)
 ) -> np.ndarray | None:
     """Final node per site from one batched host pass (exact sequential-f64
     prefix sums, reference max_by tie semantics — src/lineage.rs:151-177),
@@ -443,6 +459,7 @@ def descend_planes4_batch(
         np.ascontiguousarray(child_ids, np.int32),
         np.ascontiguousarray(node_type, np.uint8),
         out,
+        flat_w,
     )
     return out
 

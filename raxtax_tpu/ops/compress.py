@@ -74,9 +74,10 @@ def compress_counts(counts: jax.Array, budget: int = OVER_BUDGET):
     )
 
 
-@partial(jax.jit, static_argnames=("budget", "interpret", "spread"))
+@partial(jax.jit, static_argnames=("budget", "interpret", "spread", "layout"))
 def compress_planes(planes: jax.Array, budget: int = OVER_BUDGET,
-                    interpret: bool = False, spread: int = 1):
+                    interpret: bool = False, spread: int = 1,
+                    layout: str = "packed"):
     """Planes-native wire format: (lo4 u32 [B, 4, S, 128], over_idx i32
     [B, budget], over_val u16 [B, budget], n_over i32 [B],
     covered i32 [B]).
@@ -100,9 +101,15 @@ def compress_planes(planes: jax.Array, budget: int = OVER_BUDGET,
 
     B = planes.shape[0]
     lo4 = planes[:, :4]
-    high = probs_to_tip_order(
-        planes_high_counts(planes, interpret=interpret), 0
-    )  # [B, N_pad] i32, 0 where count <= 15
+    high_bm = planes_high_counts(planes, interpret=interpret)
+    if layout == "flat":
+        # flat postings layout: the bit-major expansion already enumerates
+        # tips in taxonomy order — no permute, and the ascending sort
+        # below orders by taxonomy tip directly
+        high = high_bm.reshape(B, -1)
+    else:
+        high = probs_to_tip_order(high_bm, 0)
+    # [B, N_pad] i32, 0 where count <= 15
     n = high.shape[1]
     n_over = (high > 0).sum(axis=1).astype(jnp.int32)
     if n <= 4096:
@@ -133,25 +140,34 @@ def compress_planes(planes: jax.Array, budget: int = OVER_BUDGET,
     )
 
 
-def decode_plane_rows(sel: np.ndarray) -> np.ndarray:
+def decode_plane_rows(sel: np.ndarray, layout: str = "packed") -> np.ndarray:
     """[m, P, ...] little-endian u32 counter-plane words -> [m, W*32] u16
-    counts. Plane p contributes bit p of each count; tip n lives in word
-    n//32, bit n%32. The single decode used by every planes→u16 path
-    (engine gather, mesh gather, wire decompress)."""
+    counts. Plane p contributes bit p of each count; under the "packed"
+    layout tip n lives in word n//32, bit n%32; under "flat", word n%W,
+    bit n//W (bitmatrix.build_kmer_major). The single decode used by every
+    planes→u16 path (engine gather, mesh gather, wire decompress)."""
     m, n_planes = sel.shape[0], sel.shape[1]
     w = sel.reshape(m, n_planes, -1)
     bits = np.unpackbits(
         w.astype("<u4").view(np.uint8), axis=2, bitorder="little"
-    )  # [m, P, W*32]
+    )  # [m, P, W*32] at position word*32 + bit
+    if layout == "flat":
+        # tip q = bit*W + word: regroup [W, 32] -> [32, W]
+        W = w.shape[2]
+        bits = np.ascontiguousarray(
+            bits.reshape(m, n_planes, W, 32).transpose(0, 1, 3, 2)
+        ).reshape(m, n_planes, 32 * W)
     out = np.zeros((m, bits.shape[2]), np.uint16)
     for p in range(n_planes):
         out |= bits[:, p].astype(np.uint16) << p
     return out
 
 
-def decode_lo4(lo4_row: np.ndarray, num_tips: int) -> np.ndarray:
+def decode_lo4(
+    lo4_row: np.ndarray, num_tips: int, layout: str = "packed"
+) -> np.ndarray:
     """[4, S, 128] u32 tier planes -> u16 counts clamped at 15."""
-    return decode_plane_rows(lo4_row.reshape(1, 4, -1))[0, :num_tips]
+    return decode_plane_rows(lo4_row.reshape(1, 4, -1), layout)[0, :num_tips]
 
 
 def decompress_planes_rows(
@@ -162,12 +178,13 @@ def decompress_planes_rows(
     rows: list[int],
     num_tips: int,
     budget: int = OVER_BUDGET,
+    layout: str = "packed",
 ) -> tuple[np.ndarray, list[int]]:
     """Planes-wire analogue of :func:`decompress_rows`."""
     out = np.zeros((len(rows), num_tips), np.uint16)
     over_budget = []
     for i, b in enumerate(rows):
-        out[i] = decode_lo4(lo4[b], num_tips)
+        out[i] = decode_lo4(lo4[b], num_tips, layout)
         n = int(n_over[b])
         if n > budget:
             over_budget.append(i)

@@ -278,7 +278,9 @@ def _compact_dd_from_cum(cum_hi, cum_lo, starts, ends, conf_hi, k: int):
     return vals, vals_lo, idx, n_sig
 
 
-@partial(jax.jit, static_argnames=("top_k", "interpret", "bm_scan"))
+@partial(
+    jax.jit, static_argnames=("top_k", "interpret", "bm_scan", "layout")
+)
 def significant_nodes_planes(
     planes: jax.Array,  # [B, P, S, 128] uint32 counter planes
     table: jax.Array,  # [B, S_max] f32 normalized per-size probabilities
@@ -291,6 +293,7 @@ def significant_nodes_planes(
     bm_scan: bool = False,
     split: tuple | None = None,  # (inner_starts, inner_ends, inner_pos,
     #                               evalpos_of_tip) for _compact_split
+    layout: str = "packed",  # postings layout (bitmatrix.build_kmer_major)
 ):
     """Planes-native variant of :func:`significant_nodes`: the per-tip
     probabilities come straight from the fused decode+lookup kernel, so no
@@ -362,10 +365,18 @@ def significant_nodes_planes(
             cum_hi, cum_lo, node_starts, node_ends, conf_hi, k
         )
         return vals, vals_lo, idx, n_sig, (cum_hi, cum_lo)
-    probs = probs_to_tip_order(probs_bm, 0)
+    if layout == "flat":
+        # flat postings layout: the kernel's bit-major expansion already
+        # enumerates tips in taxonomy order — [B, 32, S, 128] viewed flat
+        # IS the tip-order probs row (pad tips sit contiguously past
+        # num_tips), so the [B, n] permute disappears
+        probs = probs_bm.reshape(probs_bm.shape[0], -1)
+    else:
+        probs = probs_to_tip_order(probs_bm, 0)
     if over_idx is not None:
         # invalid slots carry the 2^30 sentinel index -> dropped; the
-        # per-row indices are sorted and unique (compress contract)
+        # per-row indices are sorted and unique (compress contract, in the
+        # layout's tip coordinates either way)
         probs = probs.at[rowid, over_idx].set(
             fixval, mode="drop", unique_indices=True,
             indices_are_sorted=True,

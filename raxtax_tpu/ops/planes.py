@@ -432,18 +432,25 @@ def dd_cumsum_pallas_bitmajor(
     return hi.reshape(B, N), lo.reshape(B, N)
 
 
-@jax.jit
-def zero_tips_in_planes(planes: jax.Array, ids: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("layout",))
+def zero_tips_in_planes(
+    planes: jax.Array, ids: jax.Array, layout: str = "packed"
+) -> jax.Array:
     """Clear the counter bits of the given tips (per query).
 
     `ids` is [B, E] int32 tip ids, -1-padded. The TPU dual of the
     reference's `--skip-exact-matches` count zeroing (src/raxtax.rs:65-68):
-    a cleared bit in every plane makes the decoded count 0.
+    a cleared bit in every plane makes the decoded count 0. `layout`
+    selects the tip -> (word, bit) mapping (bitmatrix.build_kmer_major).
     """
     B, n_planes, S, lanes = planes.shape
     W = S * lanes
-    word = ids // WORD_BITS  # -1 -> negative -> dropped by the scatter
-    bit = (ids % WORD_BITS).astype(jnp.uint32)
+    if layout == "flat":
+        word = jnp.where(ids >= 0, ids % W, -1)
+        bit = (ids // W).astype(jnp.uint32)
+    else:
+        word = ids // WORD_BITS  # -1 -> negative -> dropped by the scatter
+        bit = (ids % WORD_BITS).astype(jnp.uint32)
     rowid = jnp.broadcast_to(
         jnp.arange(B, dtype=jnp.int32)[:, None], ids.shape
     )

@@ -193,6 +193,14 @@ class ShardedPipeline:
     def create(cls, db, mesh: Mesh, backend: str = "xla") -> "ShardedPipeline":
         from ..engine.device import descent_arrays
 
+        if backend in ("pallas", "stream") and db.kmer_layout != "packed":
+            # model shards own contiguous reference-column blocks, which
+            # only the packed layout provides (the flat layout interleaves
+            # taxonomy ranges across bit layers)
+            raise RuntimeError(
+                "sharded pipeline needs the packed kmer-major layout; "
+                "convert with db.database.ensure_kmer_layout(db, 'packed')"
+            )
         tax = db.taxonomy
         model = mesh.shape["model"]
         ref_bits = kmer_bits = None

@@ -385,3 +385,29 @@ def test_prewarm_single_kernel_set(small_world):
     for start in range(0, len(queries), 8):
         for qr in ref.classify_batch(queries[start : start + 8]):
             assert by_label[qr.label] == qr.out_string(), qr.label
+
+
+@pytest.mark.heavy
+def test_flat_layout_matches_oracle(small_world):
+    """FLAT postings layout (permute-free significance) is byte-identical
+    to the oracle — and therefore to the packed layout covered above.
+    Exercises the flat fold planes, flat compress wire, flat host decode
+    and the flat native descend path end-to-end."""
+    db_p, queries = small_world
+    from raxtax_tpu.db.database import build_database as _bd
+
+    db = _bd(
+        db_p.taxonomy.lineages,
+        [db_p.sequence(i).copy() for i in range(db_p.num_tips)],
+        kmer_layout="flat",
+    )
+    assert db.kmer_layout == "flat"
+    oracle = OracleClassifier(db)
+    dev = DeviceClassifier.create(
+        db, backend="pallas", batch_size=8
+    )
+    assert dev._layout == "flat" and dev._flat_w == db.kmer_major.shape[1]
+    chunk = queries[:8]
+    got = dev.classify_batch(chunk)
+    for (label, seq), qr in zip(chunk, got):
+        assert qr.out_string() == oracle.classify(label, seq).out_string()

@@ -227,3 +227,27 @@ def test_bm_scan_split_compaction_parity():
             for j in range(int(g_n[b]))
         }
         assert w == g, b
+
+
+def test_flat_decode_roundtrip():
+    """decode_plane_rows(layout="flat") inverts the flat bit placement
+    (tip q -> word q%W, bit q//W; bitmatrix.build_kmer_major)."""
+    import numpy as np
+
+    from raxtax_tpu.ops.compress import decode_plane_rows
+
+    rng = np.random.default_rng(3)
+    W, P, n_tips = 256, 4, 8000
+    counts = np.zeros((2, 32 * W), np.int64)
+    counts[:, :n_tips] = rng.integers(0, 16, size=(2, n_tips))
+    planes = np.zeros((2, P, W), np.uint32)
+    q = np.arange(32 * W)
+    word, bit = q % W, q // W
+    for p in range(P):
+        bits = (counts >> p) & 1
+        for m in range(2):
+            np.bitwise_or.at(
+                planes[m, p], word, (bits[m] << bit).astype(np.uint32)
+            )
+    out = decode_plane_rows(planes, layout="flat")
+    np.testing.assert_array_equal(out[:, : 32 * W], counts)
