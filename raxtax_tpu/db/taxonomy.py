@@ -132,6 +132,40 @@ class Taxonomy:
         inner = ~covered
         return s[inner], e[inner], pos[inner], evalpos_of_tip
 
+    def unit_wide_arrays(self):
+        """Structures for the generalized split significance compaction
+        (ops/nodeconf — unit/wide partition).
+
+        Every eval node with range length 1 is a UNIT node: its confidence
+        is exactly ``probs[tip]``, and a tip can host SEVERAL unit nodes
+        (degenerate lineages — a 1-record species, its genus, ...; at 1M
+        synthetic references HALF of all eval nodes are 1-record species,
+        which the single-slot split above still pays boundary gathers
+        for). The few remaining WIDE nodes (range length > 1) need cumsum
+        boundary gathers.
+
+        Returns ``(wide_starts, wide_ends, wide_pos, unit_ptr, unit_vals)``
+        int32: per-wide-node tip ranges + eval positions, and a CSR
+        mapping tip -> ALL its unit nodes' eval positions
+        (``unit_vals[unit_ptr[t]:unit_ptr[t+1]]``).
+        """
+        ids = self.eval_ids
+        s = self.range_start[ids].astype(np.int32)
+        e = self.range_end[ids].astype(np.int32)
+        pos = np.arange(ids.shape[0], dtype=np.int32)
+        unit = (e - s) == 1
+        wide = ~unit
+        tips = s[unit]
+        order = np.argsort(tips, kind="stable")
+        unit_vals = pos[unit][order]
+        counts = np.bincount(tips, minlength=self.num_tips)
+        unit_ptr = np.zeros(self.num_tips + 1, dtype=np.int64)
+        np.cumsum(counts, out=unit_ptr[1:])
+        return (
+            s[wide], e[wide], pos[wide],
+            unit_ptr, unit_vals.astype(np.int32),
+        )
+
     def path_from(self, ancestor: int, node: int) -> list[int]:
         """Nodes strictly below `ancestor` down to and including `node`."""
         path = []

@@ -249,6 +249,14 @@ class DeviceClassifier:
     #: nodes read probs[tip] directly; only the ~1/8 inner nodes pay the
     #: [B, J] boundary gathers (ops/nodeconf._compact_split)
     _split: tuple | None = field(default=None, repr=False)
+    #: generalized split (default on for single-chip planes backends,
+    #: RAXTAX_SPLIT2=0 disables): unit eval nodes (range 1; several can
+    #: share a tip) ride tip codes expanded on host via the CSR below;
+    #: wide nodes pay boundary gathers; overflow mass rides a dd sideband
+    #: instead of a [B, N] scatter (ops/nodeconf._compact_unit_wide)
+    _split2: tuple | None = field(default=None, repr=False)
+    _unit_ptr: object = field(default=None, repr=False)
+    _unit_vals: object = field(default=None, repr=False)
     #: --debug-checks: validate device-stage invariants on the (small)
     #: pulled artifacts — mirrors the reference's asserts (src/prob.rs:98,
     #: src/raxtax.rs:56,72) plus kernel-integrity checks. Off by default:
@@ -366,6 +374,14 @@ class DeviceClassifier:
             self._layout = db.kmer_layout
             if self._layout == "flat":
                 self._flat_w = int(db.kmer_major.shape[1])
+            if os.environ.get("RAXTAX_SPLIT2", "1") not in ("", "0"):
+                ws, we, wp, uptr, uvals = tax.unit_wide_arrays()
+                self._split2 = (
+                    jnp.asarray(ws), jnp.asarray(we), jnp.asarray(wp),
+                    jnp.asarray((uptr[1:] - uptr[:-1]) > 0),
+                )
+                self._unit_ptr = uptr
+                self._unit_vals = uvals
         if mesh is None and backend == "pallas":
             import jax
 
@@ -437,6 +453,8 @@ class DeviceClassifier:
                 bm_scan=self._bm_scan,
                 split=self._split,
                 layout=self._layout,
+                split2=self._split2,
+                num_tips=self.db.num_tips,
             )
         return significant_nodes(
             counts,
@@ -1339,13 +1357,38 @@ class DeviceClassifier:
         conf64_f = hi_f[:total].astype(np.float64) + lo_f[:total].astype(
             np.float64
         )
+        if self._unit_ptr is not None and total:
+            # expand unit-tip codes (-(tip+2), _compact_unit_wide) into the
+            # tip's unit eval nodes — a 1-record species chain yields one
+            # entry per level, all with the tip's probability as confidence
+            neg = idx_f < -1
+            if neg.any():
+                up, uv = self._unit_ptr, self._unit_vals
+                tips = np.where(neg, -idx_f - 2, 0)
+                cnt = np.where(neg, up[tips + 1] - up[tips], 1)
+                ends = np.cumsum(cnt)
+                starts_e = ends - cnt
+                new_total = int(ends[-1])
+                src = np.repeat(np.arange(total), cnt)
+                within = np.arange(new_total, dtype=np.int64) - starts_e[src]
+                base = np.where(neg, up[tips], 0)[src] + within
+                idx_f = np.where(
+                    neg[src],
+                    uv[np.minimum(base, max(uv.size - 1, 0))],
+                    idx_f[src],
+                ).astype(np.int32)
+                conf64_f = conf64_f[src]
+                csum = np.concatenate(([0], ends))
+                off = csum[off[: n_real + 1]]
+                total = new_total
         nodes_f = eval_ids[idx_f].astype(np.int32)
 
         if self.debug_checks and total:
             # confidences are range sums of normalized probabilities: they
             # must land in [0, 1] up to f32 cumsum slack (the reference
-            # asserts its normalization at src/prob.rs:98)
-            v = hi_f[:total]
+            # asserts its normalization at src/prob.rs:98). conf64_f is the
+            # (possibly unit-expanded) view — bounded iff the raw wire was.
+            v = conf64_f
             if v.size and (v.min() < -1e-3 or v.max() > 1.0 + 1e-3):
                 raise AssertionError(
                     "debug-checks: node confidence outside [0, 1] "

@@ -255,6 +255,146 @@ def _compact_split(
     return vals[:, :k], vals_lo[:, :k], idx[:, :k], n_sig
 
 
+def _sideband_pair(ov_hi, ov_lo, over_idx, pos):
+    """dd prefix of overflow probs up to tip position `pos` [..., m]:
+    (hi, lo) gathered at searchsorted(over_idx, pos) per row."""
+    pos = jnp.broadcast_to(pos, (over_idx.shape[0],) + pos.shape[1:])
+    ub = jax.vmap(
+        lambda a, v: jnp.searchsorted(a, v, side="left")
+    )(over_idx, pos)
+    return (
+        jnp.take_along_axis(ov_hi, ub, axis=1),
+        jnp.take_along_axis(ov_lo, ub, axis=1),
+    )
+
+
+def _wide_conf_dd(cum_hi, cum_lo, starts, ends, sideband):
+    """Double-f32 wide-node confidences with the overflow sideband folded
+    in: conf = (cum[e]-cum[s]) + (ov[e]-ov[s]), where ov is the dd prefix
+    over the SORTED overflow list's probs (overflow tips decode to 0.0 in
+    the zero-high probs, so their entire table value rides the sideband)."""
+    base = _dd_sub(
+        cum_hi[:, ends], cum_lo[:, ends], cum_hi[:, starts], cum_lo[:, starts]
+    )
+    if sideband is None:
+        return base
+    over_idx, ov_hi, ov_lo = sideband
+    s_hi, s_lo = _sideband_pair(ov_hi, ov_lo, over_idx, starts[None, :])
+    e_hi, e_lo = _sideband_pair(ov_hi, ov_lo, over_idx, ends[None, :])
+    corr = _dd_sub(e_hi, e_lo, s_hi, s_lo)
+    return _dd_add(base, corr)
+
+
+def _wide_conf_dd_at(cum_hi, cum_lo, s, e, sideband):
+    """Same as :func:`_wide_conf_dd` for per-row [B, m] start/end index
+    matrices (the recompute at compacted positions)."""
+    base = _dd_sub(
+        jnp.take_along_axis(cum_hi, e, axis=1),
+        jnp.take_along_axis(cum_lo, e, axis=1),
+        jnp.take_along_axis(cum_hi, s, axis=1),
+        jnp.take_along_axis(cum_lo, s, axis=1),
+    )
+    if sideband is None:
+        return base
+    over_idx, ov_hi, ov_lo = sideband
+    s_hi, s_lo = _sideband_pair(ov_hi, ov_lo, over_idx, s)
+    e_hi, e_lo = _sideband_pair(ov_hi, ov_lo, over_idx, e)
+    return _dd_add(base, _dd_sub(e_hi, e_lo, s_hi, s_lo))
+
+
+def _compact_unit_wide(
+    cum_hi, cum_lo,  # [B, Jt_pad+1] zero-prefixed dd tip cumsum
+    probs,  # [B, Jt_pad] flat tip-order probs (overflow tips 0 w/ sideband)
+    sideband,  # (over_idx [B,bud] sorted, ov_hi, ov_lo [B,bud+1]) | None
+    over_fixval,  # [B, bud] f32 table[over count] | None (with sideband)
+    wide_starts, wide_ends, wide_pos,  # [n_w] int32
+    tip_has_unit,  # [num_tips] bool — tip hosts >=1 unit eval node
+    num_tips: int,
+    k: int,
+):
+    """Generalized split compaction: WIDE eval nodes (range > 1) via
+    boundary gathers + overflow sideband, significant TIPS straight from
+    the probs row. Tip entries carry the code ``-(tip + 2)`` in `idx`
+    (-1 stays padding); the engine expands each tip to ALL its unit eval
+    nodes on host (taxonomy.unit_wide_arrays CSR) — a tip can host several
+    (1-record species chains), which the single-slot split cannot express.
+    Overflow tips decode to 0.0 in the zero-high probs, so their entries
+    are appended from the overflow list directly — no [B, N] scatter.
+    """
+    B = probs.shape[0]
+    k_w = min(k, max(int(wide_starts.shape[0]), 1))
+    conf_w_hi, _ = _wide_conf_dd(
+        cum_hi, cum_lo, wide_starts, wide_ends, sideband
+    )
+    vals_w, idx_w, n_w = threshold_set(conf_w_hi, SIG_THRESHOLD, k_w)
+    safe = jnp.clip(idx_w, 0, wide_starts.shape[0] - 1)
+    lo_w = _wide_conf_dd_at(
+        cum_hi, cum_lo, wide_starts[safe], wide_ends[safe], sideband
+    )[1]
+    eval_w = jnp.where(idx_w >= 0, wide_pos[safe], -1)
+
+    # significant tips from the probs row; pad slots and tips without a
+    # unit node (their Taxon is wide and covered above) are masked out
+    has_unit = jnp.pad(
+        tip_has_unit.astype(jnp.bool_),
+        (0, probs.shape[1] - tip_has_unit.shape[0]),
+    )
+    masked = jnp.where(has_unit[None, :], probs, -1.0)
+    k_t = min(k, masked.shape[1])
+    vals_t, pos_t, n_t = threshold_set(masked, SIG_THRESHOLD, k_t)
+    code_t = jnp.where(pos_t >= 0, -(pos_t + 2), -1)
+
+    # overflow appends (exact f32 table values, lo plane 0)
+    if sideband is not None:
+        over_idx = sideband[0]
+        safe_i = jnp.clip(over_idx, 0, num_tips - 1)
+        ok_o = (
+            (over_idx < num_tips)
+            & has_unit[safe_i]
+            & (over_fixval >= SIG_THRESHOLD)
+        )
+        fv = jnp.where(ok_o, over_fixval, -1.0)
+        k_o = min(k, fv.shape[1])
+        vals_o, pos_o, n_o = threshold_set(fv, SIG_THRESHOLD, k_o)
+        safe_o = jnp.clip(pos_o, 0, over_idx.shape[1] - 1)
+        tip_o = jnp.take_along_axis(over_idx, safe_o, axis=1)
+        code_o = jnp.where(pos_o >= 0, -(tip_o + 2), -1)
+    else:
+        vals_o = jnp.zeros((B, 1), jnp.float32)
+        code_o = jnp.full((B, 1), -1, jnp.int32)
+        n_o = jnp.zeros(B, jnp.int32)
+        k_o = 1
+
+    # pack: wide entries first, then tips, then overflow appends
+    vals = jnp.zeros((B, k + 1), jnp.float32)
+    vals_lo = jnp.zeros((B, k + 1), jnp.float32)
+    idx = jnp.full((B, k + 1), -1, jnp.int32)
+    m_w = jnp.minimum(n_w, k_w)[:, None]
+    m_t = jnp.minimum(n_t, k_t)[:, None]
+
+    def seg(offs, width, count):
+        io = jnp.arange(width, dtype=jnp.int32)[None, :]
+        return jnp.minimum(
+            jnp.where(io < count, offs + io, k), k
+        )
+
+    row_of = lambda w: jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], (B, w)
+    )
+    slot_w = seg(jnp.zeros((B, 1), jnp.int32), k_w, m_w)
+    vals = vals.at[row_of(k_w), slot_w].set(vals_w, mode="drop")
+    vals_lo = vals_lo.at[row_of(k_w), slot_w].set(lo_w, mode="drop")
+    idx = idx.at[row_of(k_w), slot_w].set(eval_w, mode="drop")
+    slot_t = seg(m_w, k_t, m_t)
+    vals = vals.at[row_of(k_t), slot_t].set(vals_t, mode="drop")
+    idx = idx.at[row_of(k_t), slot_t].set(code_t, mode="drop")
+    slot_o = seg(m_w + m_t, k_o, jnp.minimum(n_o, k_o)[:, None])
+    vals = vals.at[row_of(k_o), slot_o].set(vals_o, mode="drop")
+    idx = idx.at[row_of(k_o), slot_o].set(code_o, mode="drop")
+    n_sig = n_w + n_t + n_o
+    return vals[:, :k], vals_lo[:, :k], idx[:, :k], n_sig
+
+
 def _compact_dd_from_cum(cum_hi, cum_lo, starts, ends, conf_hi, k: int):
     """Threshold-compact without ever materializing conf_lo [B, J].
 
@@ -279,7 +419,8 @@ def _compact_dd_from_cum(cum_hi, cum_lo, starts, ends, conf_hi, k: int):
 
 
 @partial(
-    jax.jit, static_argnames=("top_k", "interpret", "bm_scan", "layout")
+    jax.jit,
+    static_argnames=("top_k", "interpret", "bm_scan", "layout", "num_tips"),
 )
 def significant_nodes_planes(
     planes: jax.Array,  # [B, P, S, 128] uint32 counter planes
@@ -294,6 +435,10 @@ def significant_nodes_planes(
     split: tuple | None = None,  # (inner_starts, inner_ends, inner_pos,
     #                               evalpos_of_tip) for _compact_split
     layout: str = "packed",  # postings layout (bitmatrix.build_kmer_major)
+    split2: tuple | None = None,  # (wide_starts, wide_ends, wide_pos,
+    #                               tip_has_unit) for _compact_unit_wide
+    #                               (tip codes in idx, host-expanded)
+    num_tips: int = 0,  # real tip count (split2 pad masking)
 ):
     """Planes-native variant of :func:`significant_nodes`: the per-tip
     probabilities come straight from the fused decode+lookup kernel, so no
@@ -314,6 +459,59 @@ def significant_nodes_planes(
         planes_probs,
         probs_to_tip_order,
     )
+
+    if split2 is not None and not bm_scan:
+        # Generalized split: unit nodes (range 1, HALF-to-7/8 of all eval
+        # nodes; several can share one tip) ride the probs row as tip
+        # codes the engine expands on host; only the few wide nodes pay
+        # boundary gathers. With an overflow list the probs kernel zeroes
+        # overflow tips (zero_high) and their mass rides a [B, budget]
+        # dd-prefix SIDEBAND — the [B, N] fixup scatter disappears.
+        mux = (
+            {"mux_bits": 4, "zero_high": True}
+            if over_idx is not None
+            else {}
+        )
+        probs_bm = planes_probs(planes, table, interpret=interpret, **mux)
+        if layout == "flat":
+            probs = probs_bm.reshape(probs_bm.shape[0], -1)
+        else:
+            probs = probs_to_tip_order(probs_bm, 0)
+        cum_hi, cum_lo = tip_prob_cumsum_dd(probs, interpret=interpret)
+        sideband = None
+        fixv = None
+        if over_idx is not None:
+            valid = over_idx < jnp.int32(2**30)
+            fixv = jnp.where(
+                valid,
+                jnp.take_along_axis(
+                    table,
+                    jnp.clip(
+                        over_val.astype(jnp.int32), 0, table.shape[1] - 1
+                    ),
+                    axis=1,
+                ),
+                0.0,
+            )
+            ov_hi, ov_lo = jax.lax.associative_scan(
+                _dd_add, (fixv, jnp.zeros_like(fixv)), axis=1
+            )
+            pad = ((0, 0), (1, 0))
+            sideband = (
+                over_idx, jnp.pad(ov_hi, pad), jnp.pad(ov_lo, pad)
+            )
+        k = min(top_k, node_starts.shape[0])
+        vals, vals_lo, idx, n_sig = _compact_unit_wide(
+            cum_hi, cum_lo, probs, sideband, fixv,
+            split2[0], split2[1], split2[2], split2[3],
+            num_tips=num_tips, k=k,
+        )
+        cum0 = (
+            (cum_hi, cum_lo) + sideband
+            if sideband is not None
+            else (cum_hi, cum_lo)
+        )
+        return vals, vals_lo, idx, n_sig, cum0
 
     mux = {"mux_bits": 4} if over_idx is not None else {}
     probs_bm = planes_probs(planes, table, interpret=interpret, **mux)
@@ -609,12 +807,27 @@ def max_descent(
         # manual axes (values derived from the data-sharded cumsum)
         return jax.lax.pcast(x, vary_axes, to="varying") if vary_axes else x
 
-    cum_hi, cum_lo = cum0
+    if len(cum0) == 5:
+        # overflow-sideband cum (split2): overflow tips are 0.0 in the
+        # scanned probs; their mass rides a dd prefix over the sorted list
+        cum_hi, cum_lo, sb_idx, sb_hi, sb_lo = cum0
+    else:
+        cum_hi, cum_lo = cum0
+        sb_idx = None
 
     def conf_of(b, ids):
         e, s = range_end[ids], range_start[ids]
         d_hi, d_err = _two_sum(cum_hi[b, e], -cum_hi[b, s])
-        v = d_hi + (d_err + cum_lo[b, e] - cum_lo[b, s])
+        lo_term = d_err + cum_lo[b, e] - cum_lo[b, s]
+        if sb_idx is not None:
+            ub_e = jnp.searchsorted(sb_idx[b], e, side="left")
+            ub_s = jnp.searchsorted(sb_idx[b], s, side="left")
+            c_hi, c_err = _two_sum(sb_hi[b, ub_e], -sb_hi[b, ub_s])
+            d_hi, d_err2 = _two_sum(d_hi, c_hi)
+            lo_term = (
+                lo_term + d_err2 + c_err + sb_lo[b, ub_e] - sb_lo[b, ub_s]
+            )
+        v = d_hi + lo_term
         if psum_axis is not None:
             v = jax.lax.psum(v, psum_axis)
         return v

@@ -158,7 +158,10 @@ def planes_histogram(
     return hist.at[:, 0].add(-pad)
 
 
-def _probs_kernel(n_planes: int, mux_bits: int, s_total: int, st: int):
+def _probs_kernel(
+    n_planes: int, mux_bits: int, s_total: int, st: int,
+    zero_high: bool = False,
+):
     n_vals = 1 << mux_bits
 
     def kernel(planes_ref, table_ref, out_ref):
@@ -176,6 +179,14 @@ def _probs_kernel(n_planes: int, mux_bits: int, s_total: int, st: int):
         t = pl.program_id(1)
         planes = [planes_ref[0, p] for p in range(mux_bits)]
         leaves = [table_ref[0, 0, v] for v in range(n_vals)]
+        high_or = None
+        if zero_high and mux_bits < n_planes:
+            # overflow tips (any count bit above the mux) decode to probs
+            # 0.0 — the caller covers them exactly from the overflow list
+            # (sideband), so no [B, N] fixup scatter is ever needed
+            high_or = planes_ref[0, mux_bits]
+            for p in range(mux_bits + 1, n_planes):
+                high_or = high_or | planes_ref[0, p]
 
         def per_bit(bit, carry):
             one = jnp.uint32(1)
@@ -188,7 +199,10 @@ def _probs_kernel(n_planes: int, mux_bits: int, s_total: int, st: int):
                     jnp.where(m, sel[2 * i + 1], sel[2 * i])
                     for i in range(len(sel) // 2)
                 ]
-            out_ref[0, bit] = sel[0]
+            out = sel[0]
+            if high_or is not None:
+                out = jnp.where(((high_or >> b) & one) != 0, 0.0, out)
+            out_ref[0, bit] = out
             return carry
 
         jax.lax.fori_loop(0, WORD_BITS, per_bit, 0)
@@ -196,12 +210,15 @@ def _probs_kernel(n_planes: int, mux_bits: int, s_total: int, st: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("mux_bits", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("mux_bits", "interpret", "zero_high")
+)
 def planes_probs(
     planes: jax.Array,  # [B, P, S, 128] uint32
     table: jax.Array,  # [B, s_max] f32 per-size probabilities
     mux_bits: int | None = None,
     interpret: bool = False,
+    zero_high: bool = False,  # overflow tips decode to 0.0 (see kernel)
 ) -> jax.Array:  # [B, 32, S, 128] f32, bit-major
     """probs[b, bit, s, lane] = table[b, count of tip (s*128+lane)*32+bit].
 
@@ -229,7 +246,7 @@ def planes_probs(
     st = min(S, 64)
     n_t = pl.cdiv(S, st)
     return pl.pallas_call(
-        _probs_kernel(n_planes, mux_bits, S, st),
+        _probs_kernel(n_planes, mux_bits, S, st, zero_high=zero_high),
         grid=(B, n_t),
         in_specs=[
             pl.BlockSpec(
