@@ -121,3 +121,32 @@ def test_sibling_ranges_partition_parent():
         assert t.range_end[kids[-1]] == t.range_end[node]
         for a, b in zip(kids[:-1], kids[1:]):
             assert t.range_end[a] == t.range_start[b]
+
+
+def test_unit_wide_arrays_partition():
+    """unit/wide arrays partition the eval view exactly: every eval node is
+    either some tip's unit entry (range length 1) or a wide entry, and the
+    CSR groups ALL unit nodes of a tip (1-record chains stack several)."""
+    import numpy as np
+
+    from raxtax_tpu.db.taxonomy import build_taxonomy
+
+    lineages = sorted(
+        ["p:A,c:B,o:O,f:F1,g:G1,s:S1"] * 3  # multi-record species
+        + ["p:A,c:B,o:O,f:F1,g:G2,s:S2"]  # 1-record chain under F1
+        + ["p:A,c:B,o:O2,f:F2,g:G3,s:S3"]  # fully 1-record lineage
+        + ["p:A,c:B,o:O2,f:F2,g:G3,s:S4"]
+    )
+    tax = build_taxonomy(lineages)
+    ws, we, wp, uptr, uvals = tax.unit_wide_arrays()
+    J = tax.eval_ids.shape[0]
+    # partition: every eval position appears exactly once
+    seen = np.concatenate([wp, uvals])
+    assert sorted(seen.tolist()) == list(range(J))
+    # wide nodes really span > 1 tip; unit nodes exactly 1
+    assert ((we - ws) > 1).all()
+    ids = tax.eval_ids
+    for t in range(tax.num_tips):
+        for p in uvals[uptr[t] : uptr[t + 1]]:
+            n = ids[p]
+            assert tax.range_start[n] == t and tax.range_end[n] == t + 1
