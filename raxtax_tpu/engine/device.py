@@ -376,10 +376,31 @@ class DeviceClassifier:
                 self._flat_w = int(db.kmer_major.shape[1])
             if os.environ.get("RAXTAX_SPLIT2", "1") not in ("", "0"):
                 ws, we, wp, uptr, uvals = tax.unit_wide_arrays()
+                # static sorted boundary set + per-node ranks: the sideband
+                # prefix at every wide boundary comes from one histogram +
+                # integer cumsum instead of a [B, 2*n_wide] searchsorted
+                # (ops/nodeconf._wide_conf_dd)
+                bounds = np.concatenate([ws, we])
+                if bounds.size <= 4096:
+                    # sideband strategy: per-boundary prefix work is cheap
+                    # and the [B, N] overflow scatter (47 ms/batch at 1M)
+                    # disappears
+                    order = np.argsort(bounds, kind="stable")
+                    rank = np.empty_like(order)
+                    rank[order] = np.arange(order.size)
+                    sb = (
+                        jnp.asarray(bounds[order].astype(np.int32)),
+                        jnp.asarray(rank[: ws.size].astype(np.int32)),
+                        jnp.asarray(rank[ws.size :].astype(np.int32)),
+                    )
+                else:
+                    # many wide boundaries: per-boundary sideband work
+                    # dwarfs the scatter — keep the scatter strategy
+                    sb = (None, None, None)
                 self._split2 = (
                     jnp.asarray(ws), jnp.asarray(we), jnp.asarray(wp),
                     jnp.asarray((uptr[1:] - uptr[:-1]) > 0),
-                )
+                ) + sb
                 self._unit_ptr = uptr
                 self._unit_vals = uvals
         if mesh is None and backend == "pallas":
@@ -652,6 +673,7 @@ class DeviceClassifier:
         tables64: list[np.ndarray | None],
         rows_pre=None,  # prefetched compressed counts (device handles) or None
         cum_cache: dict[int, np.ndarray] | None = None,
+        table=None,  # [B, s_max] f32 (cum recompute when cum0 is None)
     ) -> dict[tuple[int, int], int]:
         """Max-confidence descents for every site (src/lineage.rs:151-177).
 
@@ -725,6 +747,29 @@ class DeviceClassifier:
                     fallback_map[(b, node)] = cur
                 self._replayed_queries |= {b for b, _ in rest}
                 return fallback_map
+
+        if cum0 is None:
+            # split2 does not retain the [B, N+1] cumsum across the
+            # pipeline (2 GB/batch at 1M refs); rebuild it for the device
+            # descent from the retained planes — same construction, same
+            # double-f32 rounding as the compaction
+            from ..ops.nodeconf import cum_from_planes
+
+            import jax.numpy as _jnp
+
+            oi = ov = None
+            if rows_pre is not None and rows_pre[0] in (
+                "planes", "planes-dev"
+            ):
+                oi, ov = rows_pre[2], rows_pre[3]
+                oi = _jnp.asarray(oi)
+                ov = _jnp.asarray(ov)
+            cum0 = cum_from_planes(
+                counts, _jnp.asarray(table), oi, ov,
+                interpret=self._interpret, layout=self._layout,
+                sideband=self._split2 is not None
+                and self._split2[4] is not None,
+            )
 
         m = len(sites)
         m_pad = max(8, 1 << (m - 1).bit_length())
@@ -1458,7 +1503,7 @@ class DeviceClassifier:
                             sites.append((b, n))
 
         fallback_map = self._resolve_fallbacks(
-            sites, counts, cum0, tables64, rows_pre, cum_cache
+            sites, counts, cum0, tables64, rows_pre, cum_cache, table=table
         )
         # adaptive prefetch for the next batch: only queries whose descent
         # margin was unprovable (or whose confidences sat on a rounding

@@ -268,17 +268,51 @@ def _sideband_pair(ov_hi, ov_lo, over_idx, pos):
     )
 
 
-def _wide_conf_dd(cum_hi, cum_lo, starts, ends, sideband):
+def _wide_conf_dd(
+    cum_hi, cum_lo, starts, ends, sideband, bounds_sorted=None,
+    start_rank=None, end_rank=None,
+):
     """Double-f32 wide-node confidences with the overflow sideband folded
     in: conf = (cum[e]-cum[s]) + (ov[e]-ov[s]), where ov is the dd prefix
     over the SORTED overflow list's probs (overflow tips decode to 0.0 in
-    the zero-high probs, so their entire table value rides the sideband)."""
+    the zero-high probs, so their entire table value rides the sideband).
+
+    With `bounds_sorted` (the STATIC sorted concat of starts+ends, plus
+    each node's rank arrays), the per-boundary prefix counts come from one
+    searchsorted over the SMALL overflow list + a scatter histogram + an
+    integer cumsum, and the prefix VALUES from the exact MXU table-gather
+    — a row-wise searchsorted over [B, 2*n_wide] boundaries lowers to ~10
+    generic-gather passes and cost ~0.6 s/batch at 65k refs."""
     base = _dd_sub(
         cum_hi[:, ends], cum_lo[:, ends], cum_hi[:, starts], cum_lo[:, starts]
     )
     if sideband is None:
         return base
     over_idx, ov_hi, ov_lo = sideband
+    if bounds_sorted is not None:
+        m = bounds_sorted.shape[0]
+        B = over_idx.shape[0]
+        # entry j counts toward boundary t iff over_idx[j] < P[t]
+        # <=> searchsorted(P, over_idx[j], right) <= t
+        seg = jnp.searchsorted(
+            bounds_sorted, over_idx, side="right"
+        )  # [B, bud] in [0, m]
+        rowid = jnp.broadcast_to(
+            jnp.arange(B, dtype=jnp.int32)[:, None], seg.shape
+        )
+        hist = (
+            jnp.zeros((B, m + 1), jnp.int32)
+            .at[rowid, seg]
+            .add(1, mode="drop", indices_are_sorted=True)
+        )
+        ub = jnp.cumsum(hist[:, :m], axis=1)  # [B, m] counts < P[t]
+        ovh = jnp.take_along_axis(ov_hi, ub, axis=1)
+        ovl = jnp.take_along_axis(ov_lo, ub, axis=1)
+        corr = _dd_sub(
+            ovh[:, end_rank], ovl[:, end_rank],
+            ovh[:, start_rank], ovl[:, start_rank],
+        )
+        return _dd_add(base, corr)
     s_hi, s_lo = _sideband_pair(ov_hi, ov_lo, over_idx, starts[None, :])
     e_hi, e_lo = _sideband_pair(ov_hi, ov_lo, over_idx, ends[None, :])
     corr = _dd_sub(e_hi, e_lo, s_hi, s_lo)
@@ -311,6 +345,9 @@ def _compact_unit_wide(
     tip_has_unit,  # [num_tips] bool — tip hosts >=1 unit eval node
     num_tips: int,
     k: int,
+    bounds_sorted=None,  # [2*n_w] sorted concat(starts, ends) (static)
+    start_rank=None,  # [n_w] rank of each start in bounds_sorted
+    end_rank=None,  # [n_w] rank of each end in bounds_sorted
 ):
     """Generalized split compaction: WIDE eval nodes (range > 1) via
     boundary gathers + overflow sideband, significant TIPS straight from
@@ -324,9 +361,18 @@ def _compact_unit_wide(
     B = probs.shape[0]
     k_w = min(k, max(int(wide_starts.shape[0]), 1))
     conf_w_hi, _ = _wide_conf_dd(
-        cum_hi, cum_lo, wide_starts, wide_ends, sideband
+        cum_hi, cum_lo, wide_starts, wide_ends, sideband,
+        bounds_sorted=bounds_sorted, start_rank=start_rank,
+        end_rank=end_rank,
     )
-    vals_w, idx_w, n_w = threshold_set(conf_w_hi, SIG_THRESHOLD, k_w)
+    if conf_w_hi.shape[1] > 2048:
+        # avoid lax.top_k's full row sort well below TOPK_MAX_J —
+        # significant wide nodes are ancestor chains, heavily clustered
+        vals_w, idx_w, n_w = threshold_set_tiled(
+            conf_w_hi, SIG_THRESHOLD, k_w, tile=SIG_TILE
+        )
+    else:
+        vals_w, idx_w, n_w = threshold_set(conf_w_hi, SIG_THRESHOLD, k_w)
     safe = jnp.clip(idx_w, 0, wide_starts.shape[0] - 1)
     lo_w = _wide_conf_dd_at(
         cum_hi, cum_lo, wide_starts[safe], wide_ends[safe], sideband
@@ -341,7 +387,15 @@ def _compact_unit_wide(
     )
     masked = jnp.where(has_unit[None, :], probs, -1.0)
     k_t = min(k, masked.shape[1])
-    vals_t, pos_t, n_t = threshold_set(masked, SIG_THRESHOLD, k_t)
+    if masked.shape[1] > 8192:
+        # significant tips cluster by family: the two-level tile
+        # compaction beats lax.top_k's full row sort well below the
+        # generic TOPK_MAX_J switch (a [256, 65536] top_k costs ~0.5 s)
+        vals_t, pos_t, n_t = threshold_set_tiled(
+            masked, SIG_THRESHOLD, k_t, tile=SIG_TILE
+        )
+    else:
+        vals_t, pos_t, n_t = threshold_set(masked, SIG_THRESHOLD, k_t)
     code_t = jnp.where(pos_t >= 0, -(pos_t + 2), -1)
 
     # overflow appends (exact f32 table values, lo plane 0)
@@ -461,23 +515,34 @@ def significant_nodes_planes(
     )
 
     if split2 is not None and not bm_scan:
+        # NOTE: cum0 is NOT returned in this mode — retaining the
+        # [B, N+1] double-f32 cumsum across the 3-deep pipeline costs
+        # ~2 GB/batch at 1M refs (it OOMed B=256); the rare device
+        # descent recomputes it from the (already retained) planes via
+        # cum_from_planes.
         # Generalized split: unit nodes (range 1, HALF-to-7/8 of all eval
         # nodes; several can share one tip) ride the probs row as tip
         # codes the engine expands on host; only the few wide nodes pay
         # boundary gathers. With an overflow list the probs kernel zeroes
         # overflow tips (zero_high) and their mass rides a [B, budget]
         # dd-prefix SIDEBAND — the [B, N] fixup scatter disappears.
+        # Two overflow strategies, picked statically by the engine via
+        # split2[4] (the sorted-bounds array): the dd SIDEBAND costs
+        # ~O(B * n_wide_boundaries) of gather/scatter work — a win only
+        # when wide nodes are few (it skips the [B, N] fixup scatter,
+        # 47 ms/batch at 1M refs) — while the SCATTER costs one [B, N]
+        # operand copy, cheap at small N or few wide boundaries.
+        use_sideband = over_idx is not None and split2[4] is not None
         mux = (
             {"mux_bits": 4, "zero_high": True}
-            if over_idx is not None
-            else {}
+            if use_sideband
+            else ({"mux_bits": 4} if over_idx is not None else {})
         )
         probs_bm = planes_probs(planes, table, interpret=interpret, **mux)
         if layout == "flat":
             probs = probs_bm.reshape(probs_bm.shape[0], -1)
         else:
             probs = probs_to_tip_order(probs_bm, 0)
-        cum_hi, cum_lo = tip_prob_cumsum_dd(probs, interpret=interpret)
         sideband = None
         fixv = None
         if over_idx is not None:
@@ -493,6 +558,7 @@ def significant_nodes_planes(
                 ),
                 0.0,
             )
+        if use_sideband:
             ov_hi, ov_lo = jax.lax.associative_scan(
                 _dd_add, (fixv, jnp.zeros_like(fixv)), axis=1
             )
@@ -500,18 +566,28 @@ def significant_nodes_planes(
             sideband = (
                 over_idx, jnp.pad(ov_hi, pad), jnp.pad(ov_lo, pad)
             )
+        elif over_idx is not None:
+            # scatter the exact table values over the flat probs (sorted
+            # unique indices; 2^30 sentinels drop)
+            rowid = jnp.broadcast_to(
+                jnp.arange(probs.shape[0], dtype=jnp.int32)[:, None],
+                over_idx.shape,
+            )
+            probs = probs.at[rowid, over_idx].set(
+                fixv, mode="drop", unique_indices=True,
+                indices_are_sorted=True,
+            )
+            fixv = None
+        cum_hi, cum_lo = tip_prob_cumsum_dd(probs, interpret=interpret)
         k = min(top_k, node_starts.shape[0])
         vals, vals_lo, idx, n_sig = _compact_unit_wide(
             cum_hi, cum_lo, probs, sideband, fixv,
             split2[0], split2[1], split2[2], split2[3],
             num_tips=num_tips, k=k,
+            bounds_sorted=split2[4], start_rank=split2[5],
+            end_rank=split2[6],
         )
-        cum0 = (
-            (cum_hi, cum_lo) + sideband
-            if sideband is not None
-            else (cum_hi, cum_lo)
-        )
-        return vals, vals_lo, idx, n_sig, cum0
+        return vals, vals_lo, idx, n_sig, None
 
     mux = {"mux_bits": 4} if over_idx is not None else {}
     probs_bm = planes_probs(planes, table, interpret=interpret, **mux)
@@ -591,6 +667,66 @@ def significant_nodes_planes(
         cum_hi, cum_lo, node_starts, node_ends, conf_hi, k
     )
     return vals, vals_lo, idx, n_sig, (cum_hi, cum_lo)
+
+
+@partial(jax.jit, static_argnames=("interpret", "layout", "sideband"))
+def cum_from_planes(
+    planes: jax.Array,  # [B, P, S, 128] uint32 counter planes
+    table: jax.Array,  # [B, S_max] f32 normalized per-size probabilities
+    over_idx: jax.Array | None = None,
+    over_val: jax.Array | None = None,
+    interpret: bool = False,
+    layout: str = "packed",
+    sideband: bool = True,
+):
+    """(cum_hi, cum_lo[, over_idx, ov_hi, ov_lo]) for the fallback descent,
+    recomputed from the retained planes — the split2 compaction does not
+    keep the [B, N+1] cumsum alive across the pipeline (HBM). Identical
+    construction (same `sideband` strategy) to the split2 branch of
+    significant_nodes_planes, so descent range sums match the compaction's
+    confidences bit for bit."""
+    from .planes import planes_probs, probs_to_tip_order
+
+    use_sb = sideband and over_idx is not None
+    mux = (
+        {"mux_bits": 4, "zero_high": True}
+        if use_sb
+        else ({"mux_bits": 4} if over_idx is not None else {})
+    )
+    probs_bm = planes_probs(planes, table, interpret=interpret, **mux)
+    if layout == "flat":
+        probs = probs_bm.reshape(probs_bm.shape[0], -1)
+    else:
+        probs = probs_to_tip_order(probs_bm, 0)
+    if over_idx is None:
+        cum_hi, cum_lo = tip_prob_cumsum_dd(probs, interpret=interpret)
+        return (cum_hi, cum_lo)
+    valid = over_idx < jnp.int32(2**30)
+    fixv = jnp.where(
+        valid,
+        jnp.take_along_axis(
+            table,
+            jnp.clip(over_val.astype(jnp.int32), 0, table.shape[1] - 1),
+            axis=1,
+        ),
+        0.0,
+    )
+    if not use_sb:
+        rowid = jnp.broadcast_to(
+            jnp.arange(probs.shape[0], dtype=jnp.int32)[:, None],
+            over_idx.shape,
+        )
+        probs = probs.at[rowid, over_idx].set(
+            fixv, mode="drop", unique_indices=True, indices_are_sorted=True
+        )
+        cum_hi, cum_lo = tip_prob_cumsum_dd(probs, interpret=interpret)
+        return (cum_hi, cum_lo)
+    cum_hi, cum_lo = tip_prob_cumsum_dd(probs, interpret=interpret)
+    ov_hi, ov_lo = jax.lax.associative_scan(
+        _dd_add, (fixv, jnp.zeros_like(fixv)), axis=1
+    )
+    pad = ((0, 0), (1, 0))
+    return (cum_hi, cum_lo, over_idx, jnp.pad(ov_hi, pad), jnp.pad(ov_lo, pad))
 
 
 @partial(jax.jit, static_argnames=("top_k",))
