@@ -194,8 +194,13 @@ def measure_tpu(db, queries) -> float:
         clf.prewarm(int(counts.max()))
     t0 = time.time()
     clf._fb_dense = True  # compile the compressed-prefetch path too
-    clf.classify_batch(queries[: clf.batch_size])
-    clf.classify_batch(queries[: clf.batch_size])
+    # four warmup batches over DISTINCT chunks: two identical-chunk
+    # warmups left the engine in a degraded steady state (~0.5x measured
+    # throughput at 65k refs, reproducibly) — the extra serialized batches
+    # settle the adaptive state and drain the tunnel before timing starts
+    for w in range(4):
+        lo = (w * clf.batch_size) % max(len(queries) - clf.batch_size, 1)
+        clf.classify_batch(queries[lo : lo + clf.batch_size])
     log(f"warmup (compile) batches: {time.time() - t0:.1f}s")
     best = 0.0
     for rep in range(REPS):
@@ -223,6 +228,11 @@ def measure_tpu(db, queries) -> float:
         dt = time.time() - t0
         log(f"tpu pass {rep + 1}/{REPS}: {done} queries in {dt:.2f}s")
         best = max(best, done / dt)
+    log(
+        f"modes: mux_dense={clf._mux_dense} sparse={clf._sparse} "
+        f"top_k={clf._top_k} fb_dense={clf._fb_dense} "
+        f"over_budget={clf._over_budget}"
+    )
     return best
 
 

@@ -302,8 +302,15 @@ class DeviceClassifier:
             # grows with free HBM (VERDICT r3 item 2); `n_queries_hint`
             # keeps short runs from padding to a huge batch.
             dense_counts = backend not in ("pallas", "stream")
-            per_tip = 32 if dense_counts else 9
-            per_query = per_tip * db.num_tips + 24 * tax.eval_ids.shape[0]
+            if dense_counts:
+                per_query = 32 * db.num_tips + 24 * tax.eval_ids.shape[0]
+            else:
+                # split2 planes profile: planes (9 bits) + probs (4 B) +
+                # dd cum pair (8 B) + transient slack per tip; eval-node
+                # temporaries no longer scale with J (unit/wide split).
+                # 18 B/tip keeps ~3 in-flight batches beside the postings
+                # matrix (measured: B=256 at 1M refs fits, B=512 OOMs).
+                per_query = 18 * db.num_tips
             # Big batches only pay off where per-batch FIXED costs (tunnel
             # pulls, dispatch latency) need amortizing; the fold kernels'
             # SMEM prefetch budget is handled by sub-batching in
