@@ -180,7 +180,7 @@ def get_database(n_refs: int, fam: np.ndarray, rng):
     return db
 
 
-def measure_tpu(db, queries) -> float:
+def measure_tpu(db, queries) -> dict:
     from raxtax_tpu.engine.device import DeviceClassifier
     from raxtax_tpu.utils.jaxcfg import setup_jax
 
@@ -201,10 +201,11 @@ def measure_tpu(db, queries) -> float:
     for w in range(4):
         lo = (w * clf.batch_size) % max(len(queries) - clf.batch_size, 1)
         clf.classify_batch(queries[lo : lo + clf.batch_size])
-    log(f"warmup (compile) batches: {time.time() - t0:.1f}s")
-    best = 0.0
+    warmup_s = time.time() - t0
+    log(f"warmup (compile) batches: {warmup_s:.1f}s")
+    pass_times: list[float] = []
     for rep in range(REPS):
-        if best and remaining() < 90:
+        if pass_times and remaining() < 90:
             log("skipping remaining reps (budget)")
             break
         done = 0
@@ -227,13 +228,21 @@ def measure_tpu(db, queries) -> float:
                 done += 1
         dt = time.time() - t0
         log(f"tpu pass {rep + 1}/{REPS}: {done} queries in {dt:.2f}s")
-        best = max(best, done / dt)
+        pass_times.append(dt)
     log(
         f"modes: mux_dense={clf._mux_dense} sparse={clf._sparse} "
         f"top_k={clf._top_k} fb_dense={clf._fb_dense} "
         f"over_budget={clf._over_budget}"
     )
-    return best
+    n_q = len(queries)
+    qps = sorted(n_q / t for t in pass_times)
+    return {
+        "best": qps[-1],
+        "median": qps[len(qps) // 2],
+        "pass_s": [round(t, 3) for t in pass_times],
+        "warmup_s": round(warmup_s, 1),
+        "batch": clf.batch_size,
+    }
 
 
 def measure_oracle(db, queries, n_oracle: int) -> float:
@@ -259,20 +268,27 @@ def run_config(n_refs: int) -> bool:
     fam, rng = synth_fam()
     db = get_database(n_refs, fam, rng)
     queries = synth_queries(fam, N_QUERIES)
-    qps = measure_tpu(db, queries)
+    m = measure_tpu(db, queries)
     n_oracle = int(
         os.environ.get(
             "RAXTAX_BENCH_ORACLE_QUERIES", 16 if n_refs <= 200_000 else 5
         )
     )
     base = measure_oracle(db, queries, n_oracle)
+    # `value` stays the best pass (the driver's headline); the sideband
+    # keys expose per-pass variance + the median so perf claims are
+    # auditable against the noise band (VERDICT r4 item 6/7)
     print(
         json.dumps(
             {
                 "metric": f"classify_throughput_{n_refs}ref_db",
-                "value": round(qps, 2),
+                "value": round(m["best"], 2),
                 "unit": "queries/s/chip",
-                "vs_baseline": round(qps / base, 2),
+                "vs_baseline": round(m["best"] / base, 2),
+                "median": round(m["median"], 2),
+                "pass_s": m["pass_s"],
+                "warmup_s": m["warmup_s"],
+                "batch": m["batch"],
             }
         ),
         flush=True,
@@ -285,7 +301,9 @@ def main() -> int:
     for i, n_refs in enumerate(CONFIGS):
         # conservative phase estimate: cold build+save+compile+measure;
         # cut over to "cached DB exists" cheap estimate when it does
-        suffix = "" if BACKEND == "xla" else "_km"
+        # must match get_database's cache naming exactly (xla keeps the
+        # packed layout in the bare _v2 file; planes backends use _km_flat)
+        suffix = "" if BACKEND == "xla" else "_km_flat"
         cached = Path(
             f"/tmp/raxtax_bench_db_{n_refs}_v2{suffix}.rxdb"
         ).is_file()

@@ -297,10 +297,12 @@ class DeviceClassifier:
             # back to xla) materialize f32 counts [B, N] plus one-hot gather
             # temporaries and the double-f32 cum pair — ~32 bytes/tip live
             # across the two in-flight batches, not the planes profile.
-            # Cap 1024: per-batch FIXED costs (two ~23 ms tunnel pulls,
-            # dispatches, host prep) dominate small-DB regimes, so the batch
-            # grows with free HBM (VERDICT r3 item 2); `n_queries_hint`
-            # keeps short runs from padding to a huge batch.
+            # Cap 256: bigger batches amortize the fixed per-batch tunnel
+            # costs but quadratically grow the host-side per-batch work
+            # (descent decode, eval) on this single-core host and push the
+            # planes live set past HBM at 1M refs; `n_queries_hint` keeps
+            # short runs from padding to a huge batch. (A measured
+            # B x DB-size table lives in BENCH_NOTES.md.)
             dense_counts = backend not in ("pallas", "stream")
             if dense_counts:
                 per_query = 32 * db.num_tips + 24 * tax.eval_ids.shape[0]
