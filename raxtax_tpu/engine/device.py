@@ -257,6 +257,15 @@ class DeviceClassifier:
     _split2: tuple | None = field(default=None, repr=False)
     _unit_ptr: object = field(default=None, repr=False)
     _unit_vals: object = field(default=None, repr=False)
+    #: EXACT mode (sticky): the significance/descent path runs the
+    #: reference's sequential-f64 semantics ON DEVICE via software IEEE
+    #: arithmetic (ops/exactscan.py) — full-width mux of the f64 table bit
+    #: halves, exact sequential scan, exact descents, exact shipped
+    #: confidence values. No compressed wire, no risk margins, no host
+    #: replays. Engaged when host-replay pressure appears (RAXTAX_EXACT=
+    #: auto) or forced (=1); requires s_max <= 1024 (mux width) and
+    #: normal-or-zero probability tables (f64_add contract).
+    _exact_mode: bool = field(default=False, repr=False)
     #: --debug-checks: validate device-stage invariants on the (small)
     #: pulled artifacts — mirrors the reference's asserts (src/prob.rs:98,
     #: src/raxtax.rs:56,72) plus kernel-integrity checks. Off by default:
@@ -457,6 +466,71 @@ class DeviceClassifier:
         return self.backend in ("pallas", "stream") and self.pipeline is None
 
     # ------------------------------------------------------------------
+
+    #: largest mux-exact table width for EXACT mode (2^10 selects per
+    #: word-bit is the cost ceiling; longer queries use the legacy path)
+    EXACT_S_MAX = 1024
+    _DBL_MIN_NORMAL = 2.2250738585072014e-308
+
+    def _exact_sticky(self, s_max: int) -> bool:
+        """Sticky EXACT-mode gate (everything known before the prob model)."""
+        if not self._planes_mode or self.pipeline is not None:
+            return False
+        env = os.environ.get("RAXTAX_EXACT", "auto")
+        if env == "0" or s_max > self.EXACT_S_MAX:
+            return False
+        if env == "1":
+            self._exact_mode = True
+        return self._exact_mode
+
+    def _exact_ready(self, s_max: int, tables64, n_real: int) -> bool:
+        """Whether THIS batch runs the exact-f64 device path."""
+        if not self._exact_sticky(s_max):
+            return False
+        # f64_add contract: normal-or-zero table values only; a table with
+        # subnormals (vanishingly rare probability mass) falls back to the
+        # legacy dd path for this batch
+        for b in range(n_real):
+            t = tables64[b]
+            if t is None:
+                continue
+            pos = t[t > 0.0]
+            if pos.size and pos.min() < self._DBL_MIN_NORMAL:
+                return False
+        return True
+
+    def _significant_exact(self, counts, tables64, s_max: int, top_k: int):
+        """EXACT-mode significance (ops/exactscan.significant_nodes_exact):
+        returns (vals, vals_lo, idx, n_sig, cum0) with vals/vals_lo the
+        f32-bitcast u32 halves of exact f64 confidences and cum0 the tagged
+        exact cumsum pair for the descent."""
+        import jax.numpy as jnp
+
+        from ..ops.exactf64 import split64_np
+        from ..ops.exactscan import significant_nodes_exact
+
+        B = self.batch_size
+        t64 = np.zeros((B, s_max), np.float64)
+        for b, t in enumerate(tables64):
+            if t is not None:
+                t64[b, : t.shape[0]] = t
+        th, tl = split64_np(t64.reshape(-1))
+        th = jnp.asarray(th.reshape(B, s_max))
+        tl = jnp.asarray(tl.reshape(B, s_max))
+        split2 = self._split2[:4] if self._split2 is not None else None
+        vals, vals_lo, idx, n_sig, cum_h, cum_l = significant_nodes_exact(
+            counts, th, tl, self.node_starts, self.node_ends,
+            top_k=top_k, split2=split2, layout=self._layout,
+            num_tips=self.db.num_tips, interpret=self._interpret,
+            mux_bits=max(1, int(s_max - 1).bit_length()),
+        )
+        return vals, vals_lo, idx, n_sig, ("exact", cum_h, cum_l)
+
+    @staticmethod
+    def _is_exact_cum(cum0) -> bool:
+        return (
+            isinstance(cum0, tuple) and len(cum0) == 3 and cum0[0] == "exact"
+        )
 
     def _significant(self, counts, table, top_k: int, rows_pre=None):
         """Significance compaction dispatch (pipeline / planes / dense)."""
@@ -723,6 +797,33 @@ class DeviceClassifier:
         if cum_cache is None:
             cum_cache = {}
         fallback_map: dict[tuple[int, int], int] = {}
+
+        if self._is_exact_cum(cum0):
+            # EXACT mode: the descent compares exact f64 confidences on
+            # device (ops/exactscan.max_descent_exact) — bit-identical to
+            # the reference's recursion including last-max ties. Nothing
+            # is marginal; nothing replays on host.
+            from ..ops.exactscan import max_descent_exact
+
+            m = len(sites)
+            m_pad = max(8, 1 << (m - 1).bit_length())
+            b_arr = np.zeros(m_pad, np.int32)
+            start_arr = np.full(m_pad, self._pad_node, np.int32)
+            for i, (b, node) in enumerate(sites):
+                b_arr[i] = b
+                start_arr[i] = node
+            finals = np.asarray(
+                max_descent_exact(
+                    cum0[1], cum0[2],
+                    jnp.asarray(b_arr), jnp.asarray(start_arr),
+                    self.dsc_range_start, self.dsc_range_end,
+                    self.dsc_child_ptr, self.dsc_child_ids,
+                    self.dsc_is_inner,
+                )
+            )
+            for i, (b, node) in enumerate(sites):
+                fallback_map[(b, node)] = int(finals[i])
+            return fallback_map
 
         # All-host batched fast path: tie-dense workloads (conserved-marker
         # families with near-identical members) fail the dd certainty
@@ -1143,7 +1244,11 @@ class DeviceClassifier:
         labels, seqs, exact, ks, s_max, n_real, counts, hist_dev = state
         B = self.batch_size
         rows_pre = None
-        if self._planes_mode and not self._mux_dense:
+        # EXACT mode never builds the compressed wire: probabilities come
+        # from the full-width mux of the f64 table halves and every value
+        # the host sees is exact — no overflow lists, no host replays
+        exact_pre = self._exact_sticky(s_max)
+        if self._planes_mode and not self._mux_dense and not exact_pre:
             # extract the compressed count representation: the overflow
             # lists feed the low-bit-mux probs fixup on device, and the lo4
             # planes are the (lazily pulled) host wire. Skipped entirely in
@@ -1209,9 +1314,14 @@ class DeviceClassifier:
             # (mesh pallas/stream: counts are model-sharded planes; a global
             # compress would all-gather them — marginal queries use the
             # per-site plane gather instead)
-        vals, vals_lo, idx, n_sig, cum0 = self._significant(
-            counts, table, self._top_k, rows_pre
-        )
+        if exact_pre and self._exact_ready(s_max, tables64, n_real):
+            vals, vals_lo, idx, n_sig, cum0 = self._significant_exact(
+                counts, tables64, s_max, self._top_k
+            )
+        else:
+            vals, vals_lo, idx, n_sig, cum0 = self._significant(
+                counts, table, self._top_k, rows_pre
+            )
         packed = None
         if self.pipeline is None:
             # single pull for the whole significance product set (plus the
@@ -1390,9 +1500,14 @@ class DeviceClassifier:
             k = 1 << (max_sig - 1).bit_length()
             log.debug("significance overflow: widening top-k to %d", k)
             self._top_k = k
-            vals, vals_lo, idx, n_sig, cum0 = self._significant(
-                counts, table, k, sig_rows
-            )
+            if self._is_exact_cum(cum0):
+                vals, vals_lo, idx, n_sig, cum0 = self._significant_exact(
+                    counts, tables64, table.shape[1], k
+                )
+            else:
+                vals, vals_lo, idx, n_sig, cum0 = self._significant(
+                    counts, table, k, sig_rows
+                )
             if packed is not None:
                 off, n_sig_h, _, _, idx_f, hi_f, lo_f = self._pull_flat(
                     vals, vals_lo, idx, n_sig, sig_rows
@@ -1406,11 +1521,23 @@ class DeviceClassifier:
         # flat views over the REAL queries only (padded rows trail behind)
         total = int(off[n_real]) if n_real else 0
         idx_f = idx_f[:total]
-        # double-f32 -> f64 recombination: within ~4e-9 of the reference's
-        # exact sequential-f64 confidences (see CONF_RISK_MARGIN_*)
-        conf64_f = hi_f[:total].astype(np.float64) + lo_f[:total].astype(
-            np.float64
-        )
+        exact_mode = self._is_exact_cum(cum0)
+        if exact_mode:
+            # EXACT mode ships the f64 bit halves: reconstruction is the
+            # reference's value itself, not an approximation
+            from ..ops.exactf64 import join64_np
+
+            conf64_f = join64_np(
+                np.ascontiguousarray(hi_f[:total]).view(np.uint32),
+                np.ascontiguousarray(lo_f[:total]).view(np.uint32),
+            )
+        else:
+            # double-f32 -> f64 recombination: within ~4e-9 of the
+            # reference's exact sequential-f64 confidences (see
+            # CONF_RISK_MARGIN_*)
+            conf64_f = hi_f[:total].astype(np.float64) + lo_f[
+                :total
+            ].astype(np.float64)
         if self._unit_ptr is not None and total:
             # expand unit-tip codes (-(tip+2), _compact_unit_wide) into the
             # tip's unit eval nodes — a 1-record species chain yields one
@@ -1456,7 +1583,7 @@ class DeviceClassifier:
         # queries and recompute their significant confidences exactly.
         cum_cache: dict[int, np.ndarray] = {}
         rs_all, re_all = tax.range_start, tax.range_end
-        if self.descent == "exact" and total:
+        if self.descent == "exact" and total and not exact_mode:
             margin = (
                 CONF_RISK_MARGIN_SINGLE
                 if self.pipeline is None
@@ -1519,7 +1646,26 @@ class DeviceClassifier:
         # boundary) still need host f64 replays; prefetch the compressed
         # count planes when those are dense, else gather per query
         need_host = self._replayed_queries | set(cum_cache)
-        self._fb_dense = len(need_host) * 2 >= max(n_real, 1)
+        self._fb_dense = (
+            len(need_host) * 2 >= max(n_real, 1) and not exact_mode
+        )
+        # sticky EXACT-mode trigger (RAXTAX_EXACT=auto): dense host-replay
+        # pressure means the legacy path is shipping count matrices over
+        # the tunnel every batch — switch the run to the on-device exact-
+        # f64 pipeline, which needs no wire at all
+        if (
+            self._fb_dense
+            and not self._exact_mode
+            and self._planes_mode
+            and self.pipeline is None  # mesh: exact mode is single-chip
+            and os.environ.get("RAXTAX_EXACT", "auto") == "auto"
+        ):
+            self._exact_mode = True
+            log.info(
+                "dense host-replay pressure (%d/%d queries): switching to "
+                "the on-device exact-f64 pipeline",
+                len(need_host), n_real,
+            )
 
         # exact-match logging + single-match override (src/raxtax.rs:42-53,
         # 73-84); one pass, before evaluation, mirroring the reference order

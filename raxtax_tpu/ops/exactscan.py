@@ -90,6 +90,19 @@ def exact_cumsum_pairs(
     """
     g, n, lanes = p_hi.shape
     assert n % 8 == 0 and lanes == 128
+    if interpret:
+        # non-TPU: pallas interpret mode evaluates the kernel body eagerly
+        # per op (minutes per call); a lax.scan over the same f64_add is
+        # bit-identical and compiles on any backend
+        def step(carry, x):
+            h, lo = f64_add(carry[0], carry[1], x[0], x[1])
+            return (h, lo), (h, lo)
+
+        z = jnp.zeros((g, lanes), _U32)
+        _, (ch, cl) = jax.lax.scan(
+            step, (z, z), (p_hi.swapaxes(0, 1), p_lo.swapaxes(0, 1))
+        )
+        return ch.swapaxes(0, 1), cl.swapaxes(0, 1)
     tblk = min(n, SCAN_TBLK)
     pad = (-n) % tblk
     if pad:
@@ -172,6 +185,120 @@ def node_conf_exact(cum_hi, cum_lo, s, e):
         jnp.take_along_axis(cum_hi, s, axis=1),
         jnp.take_along_axis(cum_lo, s, axis=1),
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "top_k", "interpret", "layout", "num_tips", "mux_bits"
+    ),
+)
+def significant_nodes_exact(
+    planes: jax.Array,  # [B, P, S, 128] uint32 counter planes
+    th: jax.Array,  # [B, s_max] u32 — HIGH halves of the f64 prob table
+    tl: jax.Array,  # [B, s_max] u32 — LOW halves
+    node_starts: jax.Array,  # [J] int32 eval-node range starts
+    node_ends: jax.Array,  # [J] int32
+    top_k: int,
+    split2: tuple | None = None,  # (ws, we, wpos, tip_has_unit)
+    layout: str = "flat",
+    num_tips: int = 0,
+    interpret: bool = False,
+    mux_bits: int = 9,
+):
+    """EXACT-mode significance: full-width mux of the f64 table bit-halves
+    -> sequential-f64 scan -> selection on cheap f32 approximations ->
+    exact f64 values recomputed at the selected nodes.
+
+    Replaces the legacy path's compress/overflow/sideband machinery AND the
+    host count-matrix wire: counts never exceed s_max - 1 <= 2^mux_bits - 1,
+    so the mux is exact for every count and no fixup lists exist. Returns
+    (vals, vals_lo, idx, n_sig, cum_h, cum_l) where vals/vals_lo are the
+    f32-BITCAST u32 halves of exact f64 confidences (host: hi<<32|lo) and
+    (cum_h, cum_l) [B, Np+1] feed :func:`max_descent_exact`.
+    """
+    from .nodeconf import (
+        _compact_dd_from_cum,
+        _compact_unit_wide,
+        node_conf_dd,
+    )
+    from .planes import planes_probs, probs_to_tip_order
+
+    from .exactf64 import f64_to_f32
+
+    B = planes.shape[0]
+    if interpret:
+        # non-TPU fallback: decode counts and gather the table halves with
+        # plain XLA ops (bit-identical to the mux — both select table
+        # entries by count)
+        P = planes.shape[1]
+        shift = jnp.arange(32, dtype=_U32)
+        bits = (
+            planes[:, :, None, :, :] >> shift[None, None, :, None, None]
+        ) & _U32(1)  # [B, P, 32, S, 128]
+        w = _U32(1) << jnp.arange(P, dtype=_U32)
+        counts_bm = (bits * w[None, :, None, None, None]).sum(
+            axis=1, dtype=_U32
+        )  # [B, 32, S, 128]
+        ph_bm = jnp.take_along_axis(
+            th,
+            jnp.clip(
+                counts_bm.reshape(B, -1).astype(jnp.int32),
+                0, th.shape[1] - 1,
+            ),
+            axis=1,
+        ).reshape(counts_bm.shape)
+        pl_bm = jnp.take_along_axis(
+            tl,
+            jnp.clip(
+                counts_bm.reshape(B, -1).astype(jnp.int32),
+                0, tl.shape[1] - 1,
+            ),
+            axis=1,
+        ).reshape(counts_bm.shape)
+    else:
+        ph_bm = planes_probs(
+            planes, th, mux_bits=mux_bits, interpret=interpret
+        )
+        pl_bm = planes_probs(
+            planes, tl, mux_bits=mux_bits, interpret=interpret
+        )
+    if layout == "flat":
+        ph = ph_bm.reshape(B, -1)
+        plo = pl_bm.reshape(B, -1)
+    else:
+        ph = probs_to_tip_order(ph_bm, 0)
+        plo = probs_to_tip_order(pl_bm, 0)
+    probs_f32 = f64_to_f32(ph, plo)
+    gh, gl = probs_pairs_scan_layout(ph, plo)
+    ch, cl = exact_cumsum_pairs(gh, gl, interpret=interpret)
+    n_p = ph.shape[1]
+    cum_h, cum_l = cum_pairs_bn(ch, cl, B, n_p)
+    cap = f64_to_f32(cum_h, cum_l)  # [B, Np+1] selection-grade approx
+    zeros = jnp.zeros_like(cap)
+    k = min(top_k, node_starts.shape[0])
+    if split2 is not None:
+        vals, _, idx, n_sig = _compact_unit_wide(
+            cap, zeros, probs_f32, None, None,
+            split2[0], split2[1], split2[2], split2[3],
+            num_tips=num_tips, k=k,
+        )
+    else:
+        conf_hi, _ = node_conf_dd(cap, zeros, node_starts, node_ends)
+        vals, _, idx, n_sig = _compact_dd_from_cum(
+            cap, zeros, node_starts, node_ends, conf_hi, k
+        )
+    # exact f64 values at the selected nodes (idx >= 0: eval positions;
+    # idx <= -2: unit-tip codes -(tip + 2); idx == -1: padding)
+    safe = jnp.clip(idx, 0, node_starts.shape[0] - 1)
+    neg = idx < -1
+    tip = jnp.where(neg, (-idx) - 2, 0)
+    s_sel = jnp.where(idx >= 0, node_starts[safe], tip)
+    e_sel = jnp.where(idx >= 0, node_ends[safe], tip + 1)
+    vh, vl = node_conf_exact(cum_h, cum_l, s_sel, e_sel)
+    vals = jax.lax.bitcast_convert_type(vh, jnp.float32)
+    vals_lo = jax.lax.bitcast_convert_type(vl, jnp.float32)
+    return vals, vals_lo, idx, n_sig, cum_h, cum_l
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))

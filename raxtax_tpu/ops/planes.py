@@ -201,7 +201,8 @@ def _probs_kernel(
                 ]
             out = sel[0]
             if high_or is not None:
-                out = jnp.where(((high_or >> b) & one) != 0, 0.0, out)
+                zero = jnp.zeros((), dtype=out.dtype)
+                out = jnp.where(((high_or >> b) & one) != 0, zero, out)
             out_ref[0, bit] = out
             return carry
 
@@ -232,6 +233,10 @@ def planes_probs(
     Tile-padding garbage decodes to arbitrary (finite) table entries; use
     :func:`probs_to_tip_order` to recover the flat [B, N] layout — nothing
     below `num_tips` ever reads the garbage tail.
+
+    Dtype-generic: the mux is a pure select network, so `table` may be
+    float32 OR uint32 (the exact-f64 pipeline muxes the bit HALVES of the
+    f64 table, ops/exactscan.py); the output dtype follows the table.
     """
     B, n_planes, S, lanes = planes.shape
     if mux_bits is None:
@@ -265,7 +270,9 @@ def planes_probs(
             lambda b, t: (b, 0, t, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((B, WORD_BITS, S, lanes), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, WORD_BITS, S, lanes), table.dtype
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),

@@ -52,6 +52,20 @@ def _pairs(rng, n):
     return a, b
 
 
+@pytest.mark.parametrize("seed", [0])
+def test_add_matches_numpy_fast(seed):
+    rng = np.random.default_rng(seed)
+    a, b = _pairs(rng, 30_000)
+    keep = np.isfinite(a + b)
+    a, b = a[keep], b[keep]
+    ah, al = split64_np(a)
+    bh, bl = split64_np(b)
+    ch, cl = f64_add(ah, al, bh, bl)
+    got = join64_np(np.asarray(ch), np.asarray(cl))
+    assert (got == a + b).all()
+
+
+@pytest.mark.heavy
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_add_matches_numpy(seed):
     rng = np.random.default_rng(seed)
@@ -70,6 +84,20 @@ def test_add_matches_numpy(seed):
     )
 
 
+@pytest.mark.parametrize("seed", [3])
+def test_sub_matches_numpy_fast(seed):
+    rng = np.random.default_rng(seed)
+    a, b = _pairs(rng, 30_000)
+    hi = np.maximum(a, b)
+    lo = np.minimum(a, b)
+    ah, al = split64_np(hi)
+    bh, bl = split64_np(lo)
+    ch, cl = f64_sub(ah, al, bh, bl)
+    got = join64_np(np.asarray(ch), np.asarray(cl))
+    assert (got == hi - lo).all()
+
+
+@pytest.mark.heavy
 @pytest.mark.parametrize("seed", [3, 4, 5])
 def test_sub_matches_numpy(seed):
     rng = np.random.default_rng(seed)
@@ -88,9 +116,13 @@ def test_sub_matches_numpy(seed):
     )
 
 
+@pytest.mark.heavy
 def test_sequential_scan_matches_numpy():
     """The actual use: a sequential prefix sum of probability-scale values
-    must track numpy's running f64 bit for bit, including ties and zeros."""
+    must track numpy's running f64 bit for bit, including ties and zeros.
+    (The tie-dense fast-tier coverage lives in tests/test_exactscan.py,
+    which scans through the real lax.scan/kernel paths instead of this
+    per-element eager loop.)"""
     rng = np.random.default_rng(9)
     for trial in range(20):
         n = 4096
