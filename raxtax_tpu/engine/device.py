@@ -819,6 +819,10 @@ class DeviceClassifier:
                     self.dsc_range_start, self.dsc_range_end,
                     self.dsc_child_ptr, self.dsc_child_ids,
                     self.dsc_is_inner,
+                    # typical fan-out is tens of children; a 256-wide chunk
+                    # would evaluate ~90% padding per argmax step (only
+                    # root-level descents span hundreds and just loop more)
+                    chunk=64,
                 )
             )
             for i, (b, node) in enumerate(sites):
