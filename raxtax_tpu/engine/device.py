@@ -356,6 +356,12 @@ class DeviceClassifier:
             # keep the batch divisible over the data axis
             d = mesh.shape["data"]
             self.batch_size = _round_up(self.batch_size, d)
+            if self.pipeline.split2 is not None:
+                # mesh split2 ships unit tips as -(tip+2) codes; the host
+                # expansion CSR is identical to the single-chip path
+                _, _, _, uptr, uvals = tax.unit_wide_arrays()
+                self._unit_ptr = uptr
+                self._unit_vals = uvals
         elif backend == "xla":
             if db.ref_major is None:
                 raise RuntimeError(
@@ -1327,11 +1333,15 @@ class DeviceClassifier:
                 counts, table, self._top_k, rows_pre
             )
         packed = None
-        if self.pipeline is None:
+        if self.pipeline is None or not self.pipeline.multiprocess:
             # single pull for the whole significance product set (plus the
             # planes adequacy stats): each device->host pull costs ~23 ms
             # tunnel latency at ~40 MB/s, and the [B, top_k] arrays are
-            # mostly padding — the ragged pack ships only real entries
+            # mostly padding — the ragged pack ships only real entries.
+            # Single-process meshes pack too (the compaction outputs are
+            # data-sharded jax Arrays; the pack jit repartitions them);
+            # multiprocess meshes keep separate replicated pulls — eager
+            # jnp ops reject non-fully-addressable operands.
             packed = self._pack_pull(vals, vals_lo, idx, n_sig, rows_pre)
         else:
             for h in (vals, vals_lo, idx, n_sig):

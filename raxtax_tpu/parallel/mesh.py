@@ -113,6 +113,84 @@ def _split_compact_mesh(probs, cum_hi, cum_lo, split, lo, n_local, k):
     return vals[:, :k], vals_lo[:, :k], idx[:, :k], n_in + n_t_tot
 
 
+def _split2_compact_mesh(
+    probs, cum_hi, cum_lo, split2, lo, n_local, k
+):
+    """Generalized unit/wide split compaction under a model-sharded mesh —
+    the shard_map dual of ops/nodeconf._compact_unit_wide (the round-4
+    single-chip default, VERDICT r4 item 3).
+
+    WIDE eval nodes (tip range > 1) keep the clipped-range dd partial
+    confidences merged with a psum — but at [B, n_wide] (a small fraction
+    of J) instead of [B, J]. UNIT nodes (range 1; several can share a tip)
+    never appear here at all: each model shard thresholds its own tip
+    block's probs locally (partial conf on every other shard is exactly 0)
+    and emits the tip CODE ``-(global_tip + 2)``, which the engine expands
+    to ALL of the tip's unit eval nodes through the host CSR
+    (taxonomy.unit_wide_arrays) — identical to the single-chip contract.
+    Mesh probs come from the full-width table mux, so every tip value is
+    exact and no overflow sideband exists (reference semantics:
+    src/lineage.rs:119-148).
+
+    `split2` is (wide_starts, wide_ends, wide_pos, tip_has_unit[n_padded]);
+    `lo` is this shard's first global tip. Returns (vals, vals_lo, idx,
+    n_sig) with idx carrying eval positions for wide entries and tip codes
+    for unit entries, replicated across the model axis.
+    """
+    wide_s, wide_e, wide_pos, has_unit = split2
+    B = probs.shape[0]
+    s = jnp.clip(wide_s - lo, 0, n_local)
+    e = jnp.clip(wide_e - lo, 0, n_local)
+    ch, cl = node_conf_dd(cum_hi, cum_lo, s, e)
+    conf_w = jax.lax.psum(ch, "model")
+    k_w = min(k, conf_w.shape[1])
+    vals_w, idx_w, n_w = threshold_set(conf_w, SIG_THRESHOLD, k_w)
+    lo_w = jax.lax.psum(
+        jnp.take_along_axis(
+            cl, jnp.clip(idx_w, 0, cl.shape[1] - 1), axis=1
+        ),
+        "model",
+    )
+    safe = jnp.clip(idx_w, 0, wide_pos.shape[0] - 1)
+    eval_w = jnp.where(idx_w >= 0, wide_pos[safe], -1)
+
+    has_l = jax.lax.dynamic_slice(has_unit, (lo,), (n_local,))
+    masked = jnp.where(has_l[None, :], probs, -1.0)
+    k_t = min(k, n_local)
+    vals_t, pos_t, n_t = threshold_set(masked, SIG_THRESHOLD, k_t)
+    gtip = lo + jnp.clip(pos_t, 0, n_local - 1)
+    code_t = jnp.where(pos_t >= 0, -(gtip + 2), -1)
+    m_t = jnp.minimum(n_t, k_t)
+    g_vals = jax.lax.all_gather(vals_t, "model", axis=1)  # [B, M, k_t]
+    g_code = jax.lax.all_gather(code_t, "model", axis=1)
+    g_m = jax.lax.all_gather(m_t, "model", axis=1)  # [B, M]
+    n_t_tot = jax.lax.psum(n_t, "model")
+
+    # pack: wide entries first, then each shard's tip entries in order
+    m_w = jnp.minimum(n_w, k_w)
+    off = m_w[:, None] + jnp.cumsum(g_m, axis=1) - g_m  # [B, M]
+    jo = jnp.arange(k_t, dtype=jnp.int32)[None, None, :]
+    slot_t = jnp.where(jo < g_m[:, :, None], off[:, :, None] + jo, k)
+    slot_t = jnp.minimum(slot_t, k).reshape(B, -1)
+    io_w = jnp.arange(k_w, dtype=jnp.int32)[None, :]
+    slot_w = jnp.where(io_w < m_w[:, None], io_w, k)
+    rowid_w = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], (B, k_w)
+    )
+    rowid_t = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.int32)[:, None], slot_t.shape
+    )
+    vals = jnp.zeros((B, k + 1), jnp.float32)
+    vals_lo = jnp.zeros((B, k + 1), jnp.float32)
+    idx = jnp.full((B, k + 1), -1, jnp.int32)
+    vals = vals.at[rowid_w, slot_w].set(vals_w, mode="drop")
+    vals_lo = vals_lo.at[rowid_w, slot_w].set(lo_w, mode="drop")
+    idx = idx.at[rowid_w, slot_w].set(eval_w, mode="drop")
+    vals = vals.at[rowid_t, slot_t].set(g_vals.reshape(B, -1), mode="drop")
+    idx = idx.at[rowid_t, slot_t].set(g_code.reshape(B, -1), mode="drop")
+    return vals[:, :k], vals_lo[:, :k], idx[:, :k], n_w + n_t_tot
+
+
 def make_mesh(spec: str = "", devices=None) -> Mesh:
     """Create a ('data', 'model') mesh.
 
@@ -188,6 +266,11 @@ class ShardedPipeline:
     #: split significance compaction (RAXTAX_SPLIT_SIG=1): replicated
     #: (inner_starts, inner_ends, inner_pos, evalpos_of_tip[n_padded])
     split: tuple | None = None
+    #: generalized unit/wide split (default on, RAXTAX_SPLIT2=0 disables):
+    #: replicated (wide_starts, wide_ends, wide_pos, tip_has_unit[n_padded])
+    #: for _split2_compact_mesh; the engine expands the unit tip codes
+    #: through taxonomy.unit_wide_arrays exactly like the single-chip path
+    split2: tuple | None = None
 
     @classmethod
     def create(cls, db, mesh: Mesh, backend: str = "xla") -> "ShardedPipeline":
@@ -259,13 +342,20 @@ class ShardedPipeline:
         repl = NamedSharding(mesh, P())
         eval_ids = tax.eval_ids
         ptr, ids, is_inner, pad_node = descent_arrays(tax)
-        split = None
+        split = split2 = None
         if os.environ.get("RAXTAX_SPLIT_SIG", "") not in ("", "0"):
             i_s, i_e, i_p, tab = tax.split_sig_arrays()
             tab_p = np.full(n_padded, -1, dtype=np.int32)
             tab_p[: tab.shape[0]] = tab
             split = tuple(
                 jax.device_put(a, repl) for a in (i_s, i_e, i_p, tab_p)
+            )
+        elif os.environ.get("RAXTAX_SPLIT2", "1") not in ("", "0"):
+            ws, we, wp, uptr, _ = tax.unit_wide_arrays()
+            has_unit = np.zeros(n_padded, dtype=bool)
+            has_unit[: tax.num_tips] = (uptr[1:] - uptr[:-1]) > 0
+            split2 = tuple(
+                jax.device_put(a, repl) for a in (ws, we, wp, has_unit)
             )
         return cls(
             mesh=mesh,
@@ -286,6 +376,7 @@ class ShardedPipeline:
             dsc_is_inner=jax.device_put(is_inner, repl),
             pad_node=pad_node,
             split=split,
+            split2=split2,
         )
 
     @property
@@ -523,6 +614,18 @@ class ShardedPipeline:
             probs = gather_table(counts_l, table_l)
             cum_hi, cum_lo = tip_prob_cumsum_dd(probs)  # [B_l, N_l+1]
             lo = jax.lax.axis_index("model") * n_local
+            if self.split2 is not None:
+                k = min(top_k, starts.shape[0])
+                vals, vals_lo, idx, n_sig = _split2_compact_mesh(
+                    probs, cum_hi, cum_lo, self.split2, lo, n_local, k
+                )
+                return (
+                    self._replicate(vals),
+                    self._replicate(vals_lo),
+                    self._replicate(idx),
+                    self._replicate(n_sig),
+                    (cum_hi, cum_lo),
+                )
             if self.split is not None:
                 k = min(top_k, starts.shape[0])
                 vals, vals_lo, idx, n_sig = _split_compact_mesh(
@@ -590,6 +693,18 @@ class ShardedPipeline:
             )  # [B_l, n_local]
             cum_hi, cum_lo = tip_prob_cumsum_dd(probs, interpret=interpret)
             lo = jax.lax.axis_index("model") * n_local
+            if self.split2 is not None:
+                k = min(top_k, starts.shape[0])
+                vals, vals_lo, idx, n_sig = _split2_compact_mesh(
+                    probs, cum_hi, cum_lo, self.split2, lo, n_local, k
+                )
+                return (
+                    self._replicate(vals),
+                    self._replicate(vals_lo),
+                    self._replicate(idx),
+                    self._replicate(n_sig),
+                    (cum_hi, cum_lo),
+                )
             if self.split is not None:
                 k = min(top_k, starts.shape[0])
                 vals, vals_lo, idx, n_sig = _split_compact_mesh(

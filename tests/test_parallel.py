@@ -162,3 +162,38 @@ def test_sharded_stream_matches_oracle(world):
     got = dev.classify_batch(chunk)
     for (label, seq), qr in zip(chunk, got):
         assert qr.out_string() == oracle.classify(label, seq).out_string(), label
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_sharded_split2_matches_oracle(world, backend):
+    """Generalized unit/wide split (the round-4 single-chip default) under
+    the mesh: wide nodes psum'd at [B, n_wide], unit tips thresholded on
+    the owning shard and shipped as -(tip+2) codes the engine expands
+    through the host CSR — byte-parity with the oracle (VERDICT r4 item 3).
+    Default-on: RAXTAX_SPLIT2 unset must activate it."""
+    db, queries = world
+    mesh = make_mesh("2,4")
+    dev = DeviceClassifier.create(
+        db, backend=backend, batch_size=4, mesh=mesh
+    )
+    assert dev.pipeline.split2 is not None
+    assert dev._unit_ptr is not None
+    oracle = OracleClassifier(db)
+    got = []
+    for start in range(0, len(queries), dev.batch_size):
+        got += dev.classify_batch(queries[start : start + dev.batch_size])
+    for (label, seq), qr in zip(queries, got):
+        assert qr.out_string() == oracle.classify(label, seq).out_string(), label
+
+
+def test_sharded_split2_off_legacy_path(world, monkeypatch):
+    """RAXTAX_SPLIT2=0 keeps the legacy full-J compaction under the mesh."""
+    monkeypatch.setenv("RAXTAX_SPLIT2", "0")
+    db, queries = world
+    mesh = make_mesh("2,4")
+    dev = DeviceClassifier.create(db, backend="xla", batch_size=4, mesh=mesh)
+    assert dev.pipeline.split2 is None
+    oracle = OracleClassifier(db)
+    chunk = queries[:4]
+    for (label, seq), qr in zip(chunk, dev.classify_batch(chunk)):
+        assert qr.out_string() == oracle.classify(label, seq).out_string(), label
