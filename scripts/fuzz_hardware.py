@@ -59,11 +59,23 @@ def main() -> int:
         skip_exact, raw_conf = flag_combos[t % 4]
         # significance-path variants (engine reads these at create time):
         # periods coprime with the backend/flag cycles so all combinations
-        # appear across a 50-trial run
+        # appear across a 50-trial run. Round-5 dimensions: the generalized
+        # unit/wide split (default-on), the on-device exact-f64 pipeline
+        # (RAXTAX_EXACT=1 forces it from batch 1; auto covers the sticky
+        # trigger), and the flat vs packed postings layout.
         split = bool((t // 3) % 2)
         bm = bool((t // 5) % 2)
+        split2 = bool((t // 2) % 2)
+        exact = ("auto", "1", "0")[(t // 7) % 3]
+        layout = ("packed", "flat")[(t // 4) % 2]
         os.environ["RAXTAX_SPLIT_SIG"] = "1" if split else "0"
         os.environ["RAXTAX_BM_SCAN"] = "1" if bm else "0"
+        os.environ["RAXTAX_SPLIT2"] = "1" if split2 else "0"
+        os.environ["RAXTAX_EXACT"] = exact
+        if mesh is None:
+            from raxtax_tpu.db.database import ensure_kmer_layout
+
+            ensure_kmer_layout(db, layout)
         dev = DeviceClassifier.create(
             db,
             backend=backend,
@@ -114,6 +126,7 @@ def main() -> int:
             f"trial {t}: seed={seed} backend={backend} "
             f"skip={int(skip_exact)} raw={int(raw_conf)} "
             f"pipe={int(pipelined)} split={int(split)} bm={int(bm)} "
+            f"split2={int(split2)} exact={exact} layout={layout} "
             f"queries={len(queries)} {'OK' if ok else 'MISMATCH'}",
             flush=True,
         )
