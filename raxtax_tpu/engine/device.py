@@ -405,10 +405,15 @@ class DeviceClassifier:
                 # integer cumsum instead of a [B, 2*n_wide] searchsorted
                 # (ops/nodeconf._wide_conf_dd)
                 bounds = np.concatenate([ws, we])
-                if bounds.size <= 4096:
-                    # sideband strategy: per-boundary prefix work is cheap
-                    # and the [B, N] overflow scatter (47 ms/batch at 1M)
-                    # disappears
+                # sideband vs scatter: the sideband's per-boundary work is
+                # one log2(2*n_wide)-step searchsorted over the SMALL
+                # [B, budget] overflow list plus an [B, 2*n_wide] int
+                # histogram+cumsum; the scatter costs a full [B, N] operand
+                # copy (47 ms/batch at 1M refs). The sideband therefore
+                # wins whenever the boundary set is meaningfully smaller
+                # than the tip count — only degenerate taxonomies where
+                # most nodes are wide (2*n_wide ~ N) keep the scatter.
+                if bounds.size <= max(4096, db.num_tips // 2):
                     order = np.argsort(bounds, kind="stable")
                     rank = np.empty_like(order)
                     rank[order] = np.arange(order.size)
@@ -418,8 +423,8 @@ class DeviceClassifier:
                         jnp.asarray(rank[ws.size :].astype(np.int32)),
                     )
                 else:
-                    # many wide boundaries: per-boundary sideband work
-                    # dwarfs the scatter — keep the scatter strategy
+                    # mostly-wide taxonomy: per-boundary sideband work
+                    # approaches [B, N] anyway — keep the scatter strategy
                     sb = (None, None, None)
                 self._split2 = (
                     jnp.asarray(ws), jnp.asarray(we), jnp.asarray(wp),
